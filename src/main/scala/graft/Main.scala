@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CdcPipeline
+import graft.source.{ChangeStreamReader, TranscriptGen}
+import graft.source.TranscriptGen.GenConfig
+
+/** CLI entry point (≙ reference ProductionCdcJob.main,
+  * reference src/main/scala/com/example/cdc/main.scala:46-51).
+  *
+  * Subcommands:
+  *   gen <tableDir> [numConvs] [avgTurns] [zipf]   — synthesize the transcript table
+  *   run <tableDir> <workDir> [maxFilesPerTrigger] — snapshot+incremental CDC replay
+  *   materialize <workDir>                          — current-state table + counts
+  *   lineage <workDir>                              — per-partition commit lineage
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = GraftSession.local(cores, "graft-cdc")
+    args.toList match {
+      case "gen" :: tableDir :: rest =>
+        val numConvs = rest.headOption.map(_.toInt).getOrElse(1000)
+        val avgTurns = rest.lift(1).map(_.toInt).getOrElse(20)
+        val zipf = rest.lift(2).map(_.toDouble).getOrElse(0.0)
+        val cfg = GenConfig(numConvs = numConvs, avgTurns = avgTurns, zipf = zipf,
+          malformedFrac = 0.01, schemaChangeFrac = 0.01)
+        TranscriptGen.writeTable(spark, cfg, tableDir, filesPerSegment = math.max(cores / 4, 1))
+        println(s"[gen] snapshot rows=${spark.read.parquet(s"$tableDir/snapshot").count()} " +
+          s"changeFiles=${cfg.changeFiles}")
+      case "run" :: tableDir :: workDir :: rest =>
+        val mft = rest.headOption.map(_.toInt).getOrElse(16)
+        val streamDir = s"$workDir/stream"
+        ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+        val t0 = System.nanoTime()
+        CdcPipeline.runAvailable(spark, tableDir, streamDir, s"$workDir/out", s"$workDir/checkpoint", mft)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = ChangeStreamReader.batch(spark, streamDir).count()
+        println(f"[run] events=$n elapsed=$sec%.1fs throughput=${n / sec}%.0f events/s")
+      case "materialize" :: workDir :: Nil =>
+        val state = CdcPipeline.stableOrdered(CdcPipeline.materialize(spark, s"$workDir/out"))
+        state.write.mode("overwrite").parquet(s"$workDir/state")
+        val df = spark.read.parquet(s"$workDir/state")
+        println(s"[materialize] rows=${df.count()} convs=${df.select("conv_id").distinct().count()}")
+      case "lineage" :: workDir :: Nil =>
+        val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
+        sink.readManifest() match {
+          case Some(m) =>
+            m.orderBy(col("batchId"), col("partition")).show(50, truncate = false)
+            println(s"[lineage] batches=${sink.committedBatchIds.size}")
+          case None => println("[lineage] no committed batches")
+        }
+      case other =>
+        System.err.println(s"unknown args: ${other.mkString(" ")}\n" +
+          "usage: gen <tableDir> [numConvs] [avgTurns] [zipf] | run <tableDir> <workDir> [mft] | " +
+          "materialize <workDir> | lineage <workDir>")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

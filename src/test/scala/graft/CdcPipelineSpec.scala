@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{CdcPipeline, Router}
+import graft.sink.ExactlyOnceSink
+import graft.source.{ChangeStreamReader, TranscriptGen}
+import graft.source.TranscriptGen.GenConfig
+
+/** Connector-style integration tests recast from the reference's manual
+  * CRUD verification (reference README.md:132-163,236-273) and the
+  * flink-cdc connector guarantees (snapshot-then-incremental,
+  * resume-after-failure, ordering) — SURVEY.md §5.2.
+  */
+class CdcPipelineSpec extends SparkSpec {
+
+  private val cfg = GenConfig(
+    numConvs = 150, avgTurns = 10, seed = 42L, changeFiles = 3,
+    changeEventsPerTurn = 0.5, malformedFrac = 0.03, schemaChangeFrac = 0.03)
+
+  test("snapshot-then-incremental replay matches the batch oracle exactly") {
+    val tableDir = tmpDir("table")
+    val streamDir = tmpDir("stream")
+    val outDir = tmpDir("out")
+    val ckDir = tmpDir("ck")
+    TranscriptGen.writeTable(spark, cfg, tableDir)
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir) // all phases
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+
+    val got = CdcPipeline.materialize(spark, outDir).toDF()
+    val want = TranscriptGen.finalState(spark, cfg).toDF()
+    assertSameRows(got, want, "materialized state")
+    assert(got.count() > 0)
+
+    // exactly-once at the event level: committed lsn multiset == input lsn multiset
+    val sink = new ExactlyOnceSink(spark, outDir)
+    val committedLsns = sink.readCommitted("events").get
+      .select(col("source.lsn")).collect().map(_.getLong(0)).sorted
+    val inputLsns = ChangeStreamReader.batch(spark, streamDir)
+      .where(Router.isValid && !Router.isSchemaChange)
+      .select(col("source.lsn")).collect().map(_.getLong(0)).sorted
+    assert(committedLsns.toSeq == inputLsns.toSeq, "no event loss or duplication")
+
+    // error / schema-change routes carry exactly the malformed / DDL events
+    val nErr = sink.readCommitted("errors").map(_.count()).getOrElse(0L)
+    val nSch = sink.readCommitted("schema_changes").map(_.count()).getOrElse(0L)
+    val all = ChangeStreamReader.batch(spark, streamDir)
+    assert(nErr == all.where(!Router.isValid).count())
+    assert(nSch == all.where(Router.isValid && Router.isSchemaChange).count())
+  }
+
+  test("resume-after-failure: stop, deliver more, restart — output identical") {
+    val tableDir = tmpDir("table2")
+    val streamDir = tmpDir("stream2")
+    val outDir = tmpDir("out2")
+    val ckDir = tmpDir("ck2")
+    TranscriptGen.writeTable(spark, cfg, tableDir)
+
+    // run 1: snapshot only
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+    val snapCount = CdcPipeline.materialize(spark, outDir).count()
+    assert(snapCount == TranscriptGen.snapshot(spark, cfg).count())
+
+    // run 2: first two change segments arrive, resume from the same checkpoint
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir, p => p <= 1)
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+
+    // run 3: final segment
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+
+    assertSameRows(
+      CdcPipeline.materialize(spark, outDir).toDF(),
+      TranscriptGen.finalState(spark, cfg).toDF(),
+      "resumed state")
+
+    // exactly-once across resumes: no event duplicated (snapshot rows all
+    // carry lsn=0, so uniqueness is on (key, lsn))
+    val sink = new ExactlyOnceSink(spark, outDir)
+    val ev = sink.readCommitted("events").get
+    val uniq = ev.select(
+      coalesce(col("after.conv_id"), col("before.conv_id")),
+      coalesce(col("after.turn_idx"), col("before.turn_idx")),
+      col("source.lsn")).distinct().count()
+    assert(ev.count() == uniq)
+  }
+
+  test("idempotent sink: replayed batch is a no-op; partial write is healed") {
+    import spark.implicits._
+    val outDir = tmpDir("sinkout")
+    val sink = new ExactlyOnceSink(spark, outDir)
+    val events = TranscriptGen.events(spark, cfg.copy(numConvs = 20)).map(_.event).toDF()
+
+    CdcPipeline.processBatch(sink, events, 0L)
+    val c1 = sink.readCommitted("events").get.count()
+    // replay the same batch (restart-after-commit): must not duplicate
+    CdcPipeline.processBatch(sink, events, 0L)
+    assert(sink.readCommitted("events").get.count() == c1)
+    assert(sink.committedBatchIds == Seq(0L))
+
+    // crash-before-manifest: data dir exists, no manifest → replay heals it
+    val enriched = Router.enrich(Router.withRoute(events)
+      .filter(col("route") === "data").drop("route"))
+      .withColumn("evt_ts", coalesce(col("after.ts"), col("before.ts")))
+    sink.writeSection("events", 1L, enriched.limit(3), Some("evt_ts")) // partial, uncommitted
+    assert(sink.readCommitted("events").get.count() == c1) // invisible
+    CdcPipeline.processBatch(sink, events, 1L)
+    assert(sink.committedBatchIds == Seq(0L, 1L))
+    // batch 1 contains the full routed data set, not the partial 3 rows
+    assert(sink.readCommitted("events").get.count() == 2 * c1)
+  }
+
+  test("ordering: snapshot turns are monotone in (turn_idx, ts) per conversation") {
+    val tableDir = tmpDir("table3")
+    val streamDir = tmpDir("stream3")
+    val outDir = tmpDir("out3")
+    val ckDir = tmpDir("ck3")
+    val small = cfg.copy(numConvs = 50)
+    TranscriptGen.writeTable(spark, small, tableDir)
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir)
+
+    val sink = new ExactlyOnceSink(spark, outDir)
+    val snapEvents = sink.readCommitted("events").get.where(col("op") === "r")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("after.conv_id")).orderBy(col("after.turn_idx"))
+    val violations = snapEvents
+      .withColumn("prev_ts", lag(col("after.ts"), 1).over(w))
+      .where(col("prev_ts").isNotNull && col("after.ts") <= col("prev_ts"))
+      .count()
+    assert(violations == 0L, "per-conversation (turn_idx, ts) must be strictly monotone")
+  }
+
+  test("quality score: fraction of non-null/non-empty payload fields") {
+    import spark.implicits._
+    val events = TranscriptGen.events(spark, cfg.copy(numConvs = 5)).map(_.event).toDF()
+    val scored = events.where(Router.isValid).withColumn("q", Router.qualityScore)
+    // all generated turns have conv_id/turn_idx/role/text/ts; tool varies
+    val distinctScores = scored.select("q").distinct().collect().map(_.getDouble(0)).sorted
+    assert(distinctScores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(distinctScores.contains(5.0 / 6.0) || distinctScores.contains(1.0))
+    // deletes (after=null) score on before
+    val delScores = scored.where($"op" === "d").select("q").collect().map(_.getDouble(0))
+    assert(delScores.forall(_ > 0.0))
+  }
+}
