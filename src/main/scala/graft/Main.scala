@@ -43,6 +43,23 @@ object Main {
         state.write.mode("overwrite").parquet(s"$workDir/state")
         val df = spark.read.parquet(s"$workDir/state")
         println(s"[materialize] rows=${df.count()} convs=${df.select("conv_id").distinct().count()}")
+      case "cep" :: workDir :: Nil =>
+        val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
+        val turns = pipeline.Windows.turnsFromEvents(sink.readCommitted("events").get)
+        val m = pipeline.Cep.detect(turns, streaming = false).toDF().cache()
+        m.groupBy("pattern").count().orderBy("pattern").show(20, truncate = false)
+        println(s"[cep] matches=${m.count()}")
+      case "sessions" :: workDir :: rest =>
+        val gap = rest.headOption.getOrElse("30 minutes")
+        val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
+        val turns = pipeline.Windows.turnsFromEvents(sink.readCommitted("events").get)
+        val s = pipeline.Windows.session(turns, gap).cache()
+        println(s"[sessions] sessions=${s.count()} convs=${s.select("conv_id").distinct().count()}")
+      case "tooljoin" :: workDir :: Nil =>
+        val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
+        val turns = pipeline.Windows.turnsFromEvents(sink.readCommitted("events").get)
+        val j = pipeline.Joins.toolCallResponse(turns).cache()
+        println(s"[tooljoin] pairs=${j.count()} avg_latency_ms=${j.agg(avg("latency_ms")).first().getDouble(0)}")
       case "lineage" :: workDir :: Nil =>
         val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
         sink.readManifest() match {

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.PatternMatch
+
+/** Per-conversation CEP state machines over the turn stream, via
+  * `flatMapGroupsWithState` keyed by conv_id (north-rule: role-sequence
+  * detection + tool-call matching; the reference has no keyed state at all —
+  * SURVEY.md §2.4 "Streaming").
+  *
+  * Design for scale:
+  *   - State per key is O(1) + the out-of-order buffer: turns are processed
+  *     in dense turn_idx order; arrivals ahead of the contiguous frontier
+  *     wait in a small pending map that drains as the gap fills (change
+  *     files arrive roughly in order, so the buffer stays tiny).
+  *   - Turn text is NOT stored in state — only (idx, role, tool, ts) — so a
+  *     10^12-turn run keeps per-conversation state in the tens of bytes.
+  *   - Hot conversations are a single key by necessity (pattern order is
+  *     per-conversation); the stage's parallelism is #conversations, which
+  *     at target scale vastly exceeds cores. Event-time timeout flushes
+  *     unanswered tool calls when the watermark passes the horizon.
+  *
+  * Patterns emitted:
+  *   - tool_roundtrip:       assistant(tool=T) … next tool-turn with tool=T
+  *   - tool_mismatch:        assistant(tool=T) answered by tool-turn with tool≠T
+  *   - unanswered_tool_call: a new tool call opens while one is pending, or
+  *                           the event-time horizon expires (streaming only)
+  *   - user_repeat:          two consecutive user turns (role-sequence)
+  */
+object Cep {
+
+  /** Compact per-turn record kept in / passed through state. `ts` stays a
+    * Timestamp so the event-time watermark column survives the projection
+    * into the typed Dataset (EventTimeTimeout requires it).
+    */
+  final case class TurnLite(conv_id: String, turn_idx: Int, role: String,
+      tool: Option[String], ts: Timestamp) {
+    def tsMs: Long = ts.getTime
+  }
+
+  final case class OpenCall(idx: Int, tool: String, tsMs: Long)
+
+  final case class CepState(
+      nextIdx: Int,
+      pending: Map[Int, TurnLite],
+      openCall: Option[OpenCall],
+      prevRole: Option[String],
+      prevIdx: Int,
+      prevTsMs: Long
+  )
+
+  private def emptyState = CepState(0, Map.empty, None, None, -1, 0L)
+
+  private def mk(conv: String, pattern: String, si: Int, ei: Int, st: Long,
+      et: Long, detail: String) =
+    PatternMatch(conv, pattern, si, ei, new Timestamp(st), new Timestamp(et), detail)
+
+  /** Advance the machine over one turn (called in dense idx order). */
+  private def step(conv: String, t: TurnLite, s: CepState,
+      out: scala.collection.mutable.Buffer[PatternMatch]): CepState = {
+    var open = s.openCall
+    // role-sequence: user → user
+    if (s.prevRole.contains("user") && t.role == "user")
+      out += mk(conv, "user_repeat", s.prevIdx, t.turn_idx, s.prevTsMs, t.tsMs, "")
+    t.role match {
+      case "assistant" if t.tool.isDefined =>
+        open.foreach(o =>
+          out += mk(conv, "unanswered_tool_call", o.idx, t.turn_idx, o.tsMs, t.tsMs, o.tool))
+        open = Some(OpenCall(t.turn_idx, t.tool.get, t.tsMs))
+      case "tool" =>
+        open match {
+          case Some(o) =>
+            val p = if (t.tool.contains(o.tool)) "tool_roundtrip" else "tool_mismatch"
+            out += mk(conv, p, o.idx, t.turn_idx, o.tsMs, t.tsMs, o.tool)
+            open = None
+          case None => // orphan tool response: ignored
+        }
+      case _ =>
+    }
+    s.copy(nextIdx = t.turn_idx + 1, openCall = open,
+      prevRole = Some(t.role), prevIdx = t.turn_idx, prevTsMs = t.tsMs)
+  }
+
+  private def process(conv: String, it: Iterator[TurnLite],
+      state: GroupState[CepState], streaming: Boolean,
+      horizonMs: Long): Iterator[PatternMatch] = {
+    val out = scala.collection.mutable.Buffer[PatternMatch]()
+    if (streaming && state.hasTimedOut) {
+      val s = state.getOption.getOrElse(emptyState)
+      s.openCall.foreach { o =>
+        out += mk(conv, "unanswered_tool_call", o.idx, o.idx, o.tsMs,
+          o.tsMs + horizonMs, o.tool)
+      }
+      state.update(s.copy(openCall = None))
+      return out.iterator
+    }
+    var s = state.getOption.getOrElse(emptyState)
+    var pending = s.pending ++ it.map(t => t.turn_idx -> t)
+    var frontier = s.nextIdx
+    while (pending.contains(frontier)) {
+      val t = pending(frontier)
+      pending -= frontier
+      s = step(conv, t, s, out)
+      frontier = s.nextIdx
+    }
+    s = s.copy(pending = pending)
+    state.update(s)
+    if (streaming && s.openCall.isDefined) {
+      // timeout must sit strictly above the current watermark or Spark throws
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(s.openCall.get.tsMs + horizonMs, wm + 1))
+    }
+    out.iterator
+  }
+
+  /** Run the CEP machine. `turns` must be the r/c turn stream (see
+    * Windows.turnsFromEvents). In streaming mode an event-time watermark on
+    * `ts` must already be set by the caller for timeout-based flushes.
+    */
+  def detect(turns: DataFrame, streaming: Boolean,
+      horizonMs: Long = 10 * 60 * 1000L): Dataset[PatternMatch] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val lite = turns.select(col("conv_id"), col("turn_idx"), col("role"),
+      col("tool"), col("ts")).as[TurnLite]
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    lite
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[CepState, PatternMatch](OutputMode.Append, timeoutConf) {
+        (conv, it, state) => process(conv, it, state, streaming, horizonMs)
+      }
+  }
+
+  /** Batch oracle for tool_roundtrip/tool_mismatch via window functions —
+    * used by tests to cross-check the state machine on complete data.
+    */
+  def batchToolOracle(turns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val evs = turns
+      .where((col("role") === "assistant" && col("tool").isNotNull) || col("role") === "tool")
+      .withColumn("nxt_role", lead(col("role"), 1).over(w))
+      .withColumn("nxt_tool", lead(col("tool"), 1).over(w))
+      .withColumn("nxt_idx", lead(col("turn_idx"), 1).over(w))
+      .withColumn("nxt_ts", lead(col("ts"), 1).over(w))
+    evs
+      .where(col("role") === "assistant" && col("nxt_role") === "tool")
+      .select(
+        col("conv_id"),
+        when(col("nxt_tool") === col("tool"), "tool_roundtrip")
+          .otherwise("tool_mismatch").as("pattern"),
+        col("turn_idx").as("start_turn"), col("nxt_idx").as("end_turn"),
+        col("ts").as("start_ts"), col("nxt_ts").as("end_ts"),
+        col("tool").as("detail"))
+  }
+}

@@ -1,0 +1,187 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.model.Turn
+import graft.pipeline.{Cep, Joins, Windows}
+import graft.source.TranscriptGen
+import graft.source.TranscriptGen.GenConfig
+
+/** Event-time layer: windows + watermarks, CEP state machines, stream-stream
+  * joins (SURVEY.md §5.2 items 4; north-rule operators absent from the
+  * reference).
+  */
+class EventTimeSpec extends SparkSpec {
+
+  private val turnSchema = Encoders.product[Turn].schema
+
+  private def writeTurnFile(dir: String, name: String, turns: Seq[Turn]): Unit = {
+    import spark.implicits._
+    val tmp = s"$dir/.tmp-$name"
+    spark.createDataset(turns).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  private def streamTurns(dir: String, mft: Int = 1): DataFrame =
+    spark.readStream.schema(turnSchema).option("maxFilesPerTrigger", mft).parquet(dir)
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  private def genTurns(cfg: GenConfig): DataFrame = {
+    import spark.implicits._
+    TranscriptGen.events(spark, cfg).filter(_.event.op.exists(o => o == "r" || o == "c"))
+      .map(_.event.after.get).toDF()
+  }
+
+  private def t(conv: String, idx: Int, role: String, tool: Option[String], tsSec: Long): Turn =
+    Turn(conv, idx, role, s"text-$idx", tool, new Timestamp(1700000000000L + tsSec * 1000))
+
+  // ---------------- windows ----------------
+
+  test("tumbling/sliding/session windows: streaming == batch on same input") {
+    val cfg = GenConfig(numConvs = 60, avgTurns = 12, longGapProb = 0.15)
+    val batchTurns = genTurns(cfg)
+    val dir = tmpDir("win")
+    writeTurnFile(dir, "all", batchTurns.collect().map(r =>
+      Turn(r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        Option(r.getString(4)), r.getTimestamp(5))).toSeq)
+
+    // complete mode flushes every window regardless of watermark → exact
+    // equality with batch is checkable without sentinel plumbing
+    assertSameRows(
+      runToMemory(Windows.tumbling(streamTurns(dir, 3), "1 hour", Some("30 seconds")), "w_tum", "complete"),
+      Windows.tumbling(batchTurns, "1 hour"), "tumbling")
+    assertSameRows(
+      runToMemory(Windows.sliding(streamTurns(dir, 3), "1 hour", "15 minutes", Some("30 seconds")), "w_sli", "complete"),
+      Windows.sliding(batchTurns, "1 hour", "15 minutes"), "sliding")
+    assertSameRows(
+      runToMemory(Windows.session(streamTurns(dir, 3), "30 minutes", Some("30 seconds")), "w_ses", "complete"),
+      Windows.session(batchTurns, "30 minutes"), "session")
+  }
+
+  test("session window splits on gap > threshold") {
+    import spark.implicits._
+    val turns = Seq(
+      t("c1", 0, "user", None, 0), t("c1", 1, "assistant", None, 60),
+      t("c1", 2, "user", None, 120),
+      // 2h gap → new session
+      t("c1", 3, "user", None, 7320), t("c1", 4, "assistant", None, 7380))
+    val got = Windows.session(spark.createDataset(turns).toDF(), "30 minutes")
+      .orderBy("session_start").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n_turns") == 3 && got(1).getAs[Long]("n_turns") == 2)
+  }
+
+  test("late data beyond the watermark is dropped in append mode") {
+    val dir = tmpDir("late")
+    // batch 1: base data; batches 2-3: advance the watermark AND let the
+    // eviction run (Spark applies the new watermark one batch later);
+    // batch 4: the late event — its window state is gone and its event time
+    // is far below the watermark → dropped; batch 5: final flush.
+    writeTurnFile(dir, "b1", Seq(t("c1", 0, "user", None, 0), t("c1", 1, "user", None, 600)))
+    writeTurnFile(dir, "b2", Seq(t("adv", 0, "user", None, 100000)))
+    writeTurnFile(dir, "b3", Seq(t("adv", 1, "user", None, 110000)))
+    writeTurnFile(dir, "b4", Seq(t("c1", 2, "user", None, 60))) // hours late
+    writeTurnFile(dir, "b5", Seq(t("adv", 2, "user", None, 200000)))
+    val got = runToMemory(
+      Windows.tumbling(streamTurns(dir), "1 hour", Some("10 seconds")), "w_late", "append")
+    val c1 = got.where(col("conv_id") === "c1").orderBy("window_start").collect()
+    // both c1 base turns are in the same 1h window; the late turn (same
+    // window) arrived after the watermark passed → dropped, count stays 2
+    assert(c1.map(_.getAs[Long]("n_turns")).toSeq == Seq(2L))
+  }
+
+  // ---------------- CEP ----------------
+
+  private val craftedConv: Seq[Turn] = Seq(
+    t("cx", 0, "user", None, 0),
+    t("cx", 1, "assistant", Some("search"), 10),
+    t("cx", 2, "tool", Some("search"), 20), // roundtrip 1→2
+    t("cx", 3, "user", None, 30),
+    t("cx", 4, "user", None, 40), // user_repeat 3→4
+    t("cx", 5, "assistant", Some("browser"), 50),
+    t("cx", 6, "assistant", Some("sql"), 60), // unanswered browser 5→6
+    t("cx", 7, "tool", Some("sql"), 70), // roundtrip 6→7
+    t("cx", 8, "assistant", Some("python"), 80) // left open → timeout (streaming)
+  )
+
+  test("CEP batch: crafted conversation yields the expected pattern set") {
+    import spark.implicits._
+    val got = Cep.detect(spark.createDataset(craftedConv).toDF(), streaming = false)
+      .collect().map(m => (m.pattern, m.start_turn, m.end_turn)).toSet
+    assert(got == Set(
+      ("tool_roundtrip", 1, 2), ("user_repeat", 3, 4),
+      ("unanswered_tool_call", 5, 6), ("tool_roundtrip", 6, 7)))
+  }
+
+  test("CEP batch matches the window-function oracle on generated data") {
+    val turns = genTurns(GenConfig(numConvs = 80, avgTurns = 15))
+    val got = Cep.detect(turns, streaming = false).toDF()
+      .where(col("pattern").isin("tool_roundtrip", "tool_mismatch"))
+      .select("conv_id", "pattern", "start_turn", "end_turn", "detail")
+    val want = Cep.batchToolOracle(turns)
+      .select("conv_id", "pattern", "start_turn", "end_turn", "detail")
+    assertSameRows(got, want, "cep-vs-oracle")
+    assert(got.count() > 0)
+  }
+
+  test("CEP streaming: equals batch + fires event-time timeout for open call") {
+    val dir = tmpDir("cep")
+    writeTurnFile(dir, "b1", craftedConv.take(5))
+    writeTurnFile(dir, "b2", craftedConv.drop(5))
+    writeTurnFile(dir, "b3", Seq(t("adv", 0, "user", None, 86400)))
+    writeTurnFile(dir, "b4", Seq(t("adv", 1, "user", None, 172800)))
+    val stream = streamTurns(dir).withWatermark("ts", "5 seconds")
+    val got = runToMemory(Cep.detect(stream, streaming = true, horizonMs = 60000L).toDF(),
+      "cep_s", "append")
+      .where(col("conv_id") === "cx")
+      .collect().map(r => (r.getAs[String]("pattern"), r.getAs[Int]("start_turn"))).toSet
+    assert(got == Set(
+      ("tool_roundtrip", 1), ("user_repeat", 3),
+      ("unanswered_tool_call", 5), ("tool_roundtrip", 6),
+      ("unanswered_tool_call", 8))) // ← the timeout-fired one
+  }
+
+  test("CEP is robust to out-of-order arrival across batches") {
+    val dir = tmpDir("cepooo")
+    // deliver the conversation back-to-front; pending buffer must reorder
+    writeTurnFile(dir, "b1", craftedConv.drop(5))
+    writeTurnFile(dir, "b2", craftedConv.take(5))
+    val stream = streamTurns(dir).withWatermark("ts", "1 hour")
+    val got = runToMemory(Cep.detect(stream, streaming = true).toDF(), "cep_o", "append")
+      .collect().map(r => (r.getAs[String]("pattern"), r.getAs[Int]("start_turn"))).toSet
+    assert(got == Set(
+      ("tool_roundtrip", 1), ("user_repeat", 3),
+      ("unanswered_tool_call", 5), ("tool_roundtrip", 6)))
+  }
+
+  // ---------------- stream-stream join ----------------
+
+  test("tool-call/response stream-stream join: streaming == batch") {
+    val cfg = GenConfig(numConvs = 80, avgTurns = 15)
+    val batchTurns = genTurns(cfg)
+    val dir = tmpDir("join")
+    val collected = batchTurns.collect().map(r =>
+      Turn(r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        Option(r.getString(4)), r.getTimestamp(5))).toSeq
+    val (a, b) = collected.splitAt(collected.size / 2)
+    writeTurnFile(dir, "b1", a)
+    writeTurnFile(dir, "b2", b)
+    val got = runToMemory(
+      Joins.toolCallResponse(streamTurns(dir, 1), "10 minutes", Some("30 seconds")),
+      "join_s", "append")
+    val want = Joins.toolCallResponse(batchTurns, "10 minutes")
+    assertSameRows(got, want, "stream-stream join")
+    assert(want.count() > 0)
+  }
+}
