@@ -5,7 +5,14 @@ import graft.queries.Queries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each `queries` entry has a DuckDB oracle in `oracleSql` unless the
-  * operator is not SQL-expressible (then the driver records rows-only).
+  * operator is not SQL-expressible (engine-specific hashing, mapPartitions
+  * decode) — those get the driver's rows-only check and are covered by
+  * ScalaTest specs instead.
+  *
+  * Float-aggregation queries use exact integer-cents arithmetic (see
+  * Queries.sumCents) so Spark and DuckDB agree bit-for-bit regardless of
+  * summation order; similarity thresholds filter on raw doubles and round
+  * only for output.
   */
 object SparkEntry {
 
@@ -14,8 +21,64 @@ object SparkEntry {
     Queries.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> ((s, dir) => Queries.q1Agg(s, dir))
+    "q1_agg" -> (Queries.q1Agg _),
+    "q2_filter" -> (Queries.q2Filter _),
+    "q3_join_agg" -> (Queries.q3JoinAgg _),
+    "q4_topk" -> (Queries.q4TopK _),
+    "q5_win_tumbling" -> (Queries.q5Tumbling _),
+    "q6_win_sliding" -> (Queries.q6Sliding _),
+    "q7_sessionize" -> (Queries.q7Session _),
+    "q8_cep_pattern" -> (Queries.q8CepPattern _),
+    "q9_interval_join" -> (Queries.q9IntervalJoin _),
+    "q10_dedup_exact" -> (Queries.q10DedupExact _),
+    "q11_ngram_jaccard" -> (Queries.q11NgramJaccard _),
+    "q12_minhash_lsh" -> (Queries.q12MinhashLsh _),
+    "q13_simhash" -> (Queries.q13Simhash _),
+    "q14_ann_brute" -> (Queries.q14AnnBrute _),
+    "q15_ann_ivf" -> (Queries.q15AnnIvf _),
+    "q16_langid" -> (Queries.q16LangId _),
+    "q17_quality" -> (Queries.q17Quality _),
+    "q18_tokens" -> (Queries.q18Tokens _),
+    "q19_fingerprint" -> (Queries.q19Fingerprint _),
+    "q20_rollup" -> (Queries.q20Rollup _),
+    "q21_distinct" -> (Queries.q21Distinct _),
+    "q22_emb_dedup" -> (Queries.q22EmbDedup _),
+    "q23_multimodal" -> (Queries.q23Multimodal _)
   )
+
+  /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
+    * path verifies candidates exactly and has full recall on this corpus,
+    * so both equal the exact result).
+    */
+  private val ngramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |      FROM t, (SELECT unnest(generate_series(1, 4000)) AS i) s
+      |      WHERE i <= len(w) - 2),
+      |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+      |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |  round(inter * 1.0 / (n1.ng + n2.ng - inter), 4) AS jaccard
+      |FROM c JOIN n n1 ON c.id1 = n1.doc_id JOIN n n2 ON c.id2 = n2.doc_id
+      |WHERE inter * 1.0 / (n1.ng + n2.ng - inter) >= 0.6""".stripMargin
+
+  private val annBruteSql: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT vec_id,
+      |        list_dot_product(e.embedding::DOUBLE[], q.v)
+      |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |             * sqrt(list_dot_product(q.v, q.v))) AS c
+      |      FROM embeddings e, q WHERE vec_id <> 0)
+      |SELECT vec_id, round(c, 4) AS cosine FROM s
+      |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin
+
+  private val qualityExpr: String =
+    """(least(1.0, len(w) * 1.0 / 100)
+      | + least(1.0, (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','over'))) * 1.0 / len(w)) * 5.0)
+      | + least(1.0, list_aggregate(list_transform(w, x -> len(x)), 'sum') * 1.0 / len(w) / 8.0)
+      | + len(list_distinct(w)) * 1.0 / len(w)) / 4.0""".stripMargin.replace("\n", "")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -25,6 +88,104 @@ object SparkEntry {
         |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round((1-l_discount)*100) AS BIGINT)) / 10000.0 AS sum_disc_price,
         |  sum(CAST(round(l_quantity*100) AS BIGINT)) / count(*) / 100.0 AS avg_qty,
         |  count(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2""".stripMargin,
+    "q2_filter" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT c_mktsegment,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round((1-l_discount)*100) AS BIGINT)) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_topk" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |    sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round((1-l_discount)*100) AS BIGINT)) / 10000.0 AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, revenue, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+        |  FROM rev) WHERE rk <= 3""".stripMargin,
+    "q5_win_tumbling" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)) AS window_start,
+        |  event_type, count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q6_win_sliding" ->
+      """SELECT make_timestamp(CAST((floor(epoch(ts)/900) - k.k)*900*1000000 AS BIGINT)) AS window_start,
+        |  event_type, count(*) AS n
+        |FROM events, (SELECT unnest([0,1,2,3]) AS k) k
+        |GROUP BY 1, 2""".stripMargin,
+    "q7_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q8_cep_pattern" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lead(event_type) OVER w AS next_type,
+        |    lead(ts) OVER w AS next_ts,
+        |    lead(event_id) OVER w AS next_id
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS purchase_id, next_id AS error_id
+        |FROM o WHERE event_type = 'purchase' AND next_type = 'error'
+        |  AND epoch(next_ts) - epoch(ts) <= 600""".stripMargin,
+    "q9_interval_join" ->
+      """SELECT a.user_id, a.event_id AS purchase_id, b.event_id AS error_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'purchase' AND b.event_type = 'error'
+        | AND b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 600""".stripMargin,
+    "q10_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "q11_ngram_jaccard" -> ngramJaccardSql,
+    "q12_minhash_lsh" -> ngramJaccardSql,
+    "q14_ann_brute" -> annBruteSql,
+    "q15_ann_ivf" -> annBruteSql,
+    "q16_langid" ->
+      """SELECT lang,
+        |  CASE WHEN len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is','over'))) * 1.0
+        |         / len(string_split(text,' ')) >= 0.04
+        |       THEN 'en' ELSE 'other' END AS lang_pred,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q17_quality" ->
+      s"""WITH t AS (SELECT source, string_split(text,' ') AS w FROM documents)
+         |SELECT source, round(avg(round($qualityExpr, 4)), 4) AS avg_quality,
+         |  count(*) AS n_docs
+         |FROM t GROUP BY source""".stripMargin,
+    "q18_tokens" ->
+      """SELECT source, sum(len(string_split(text,' '))) AS total_tokens,
+        |  max(len(string_split(text,' '))) AS max_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+    "q20_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q21_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q22_emb_dedup" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""".stripMargin
+    // q13_simhash, q19_fingerprint: engine-hash-specific (xxhash64) → rows-only
+    // q23_multimodal: mapPartitions decode stub → rows-only
   )
 }

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design:
+  *   - Exact dedup is one hash-aggregate on a 64-bit text hash (map-side
+  *     partial agg; never shuffles full text).
+  *   - Pairwise similarity is NEVER all-pairs: candidates come from
+  *     inverted-index joins (shared n-gram), LSH band buckets, or SimHash
+  *     chunk buckets — each a standard equi-shuffle join whose fan-out is
+  *     bounded by bucket sizes, then verified exactly. At 100 TB the band/
+  *     bucket key is the shuffle key and hot buckets are handled by AQE
+  *     skew-join (on) or a frequency cap on pathological grams.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per identical text. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** Distinct word n-grams per document: (id, gram). Narrow explode. */
+  def grams(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = split(col(textCol), " ")
+    val g = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+    docs.select(col(idCol).as("id"), explode(array_distinct(g)).as("gram"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    * docs sharing ≥1 gram are candidates; |A∩B| falls out of the join
+    * group-count; |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val g = grams(docs, n, idCol, textCol).cache()
+    val sizes = g.groupBy("id").agg(count(lit(1)).as("ng"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("ng", "ng1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("ng", "ng2"), "id2")
+      .withColumn("raw_j", col("inter") / (col("ng1") + col("ng2") - col("inter")))
+      .where(col("raw_j") >= threshold)
+      .select(col("id1"), col("id2"), round(col("raw_j"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature matrix: for each doc, numHashes minima of
+    * (a_k * xxhash64(gram) + b_k) mod p. One explode + one groupBy(id).
+    */
+  def minhashSignatures(g: DataFrame, numHashes: Int): DataFrame = {
+    // 31-bit Mersenne ring keeps every product inside a 64-bit long under
+    // ANSI mode (no silent wrap in Spark 4): h < 2^31, a < 2^8 → a*h+b < 2^40
+    val p = 2147483647L // 2^31 - 1
+    val h = pmod(xxhash64(col("gram")), lit(p))
+    val mins = (0 until numHashes).map { k =>
+      val a = 2L * k + 1
+      val b = 40503L * (k + 1)
+      min(pmod(h * a + b, lit(p))).as(s"h$k")
+    }
+    g.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  private def pmod(c: Column, m: Column): Column = ((c % m) + m) % m
+
+  /** MinHash + LSH banding → candidate pairs → exact-Jaccard verification.
+    * bands*rowsPerBand hash functions; candidate threshold ≈
+    * (1/bands)^(1/rowsPerBand). Verification keeps precision exact, so the
+    * output equals `ngramJaccardPairs` whenever LSH recall is 1 (tests pin
+    * this on the fixture corpus).
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+      bands: Int = 32, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val g = grams(docs, n, idCol, textCol).cache()
+    val sig = minhashSignatures(g, bands * rowsPerBand)
+    // band key = hash of that band's signature slice → bucket join
+    val banded = sig.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+            .as("sig"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.sig"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+    // exact verification of candidates only: intersect gram sets via a
+    // two-step equi-join on (id, gram) — no cross-product of gram lists
+    val sizes = g.groupBy("id").agg(count(lit(1)).as("ng"))
+    val inter = cand
+      .join(g.toDF("id1", "gram"), "id1")
+      .join(g.toDF("id2", "gram"), Seq("id2", "gram"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("ng", "ng1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("ng", "ng2"), "id2")
+      .withColumn("raw_j", col("inter") / (col("ng1") + col("ng2") - col("inter")))
+      .where(col("raw_j") >= threshold)
+      .select(col("id1"), col("id2"), round(col("raw_j"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document from token hashes (unweighted). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per bit: +1 if set else -1; sign of the sum is the output bit
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: block on (maxHamming+1) bit-chunks — by
+    * pigeonhole, any pair within `maxHamming` of 64 bits shares at least one
+    * identical chunk — then filter by true hamming distance. Exact recall by
+    * construction. Default 3 is the standard simhash dedup operating point
+    * (4×16-bit tables); larger thresholds trade chunk width for candidate
+    * volume.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming out of range")
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks
+    val sh = simhash(docs, idCol, textCol).cache()
+    val chunks = sh.select(col("id"), col("simhash"),
+      explode(array((0 until nChunks).map { c =>
+        val hi = if (c == nChunks - 1) 64 else (c + 1) * width
+        val mask = if (hi - c * width >= 64) -1L else (1L << (hi - c * width)) - 1
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * width).bitwiseAND(mask).as("v"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("simhash"), col("ck.c"), col("ck.v"))
+    val ham = {
+      // popcount via bit_count builtin
+      bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+    }
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        ham.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: exact cosine over candidate pairs. At sandbox
+    * scale candidates = all pairs; the scale path blocks by IVF centroid
+    * (see Similarity.ivfTopK) before the exact check.
+    */
+  def embeddingCosinePairs(embs: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embs.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("raw_c"))
+      .where(col("raw_c") >= threshold)
+      .select(col("id1"), col("id2"), round(col("raw_c"), 4).as("cosine"))
+  }
+}

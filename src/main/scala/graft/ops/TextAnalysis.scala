@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * language-ID, quality scoring, token accounting, document fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst built-ins (split/transform/
+  * aggregate/filter higher-order functions) — no UDFs in the hot path, so
+  * whole-stage codegen spans the full scan→project pipeline and the work
+  * distributes trivially (narrow, no shuffle until the final aggregate).
+  * Formulas are deliberately SQL-expressible so DuckDB oracles can replicate
+  * them bit-for-bit (integer/ratio arithmetic + round).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Synthetic corpus is single-space separated; for real
+    * corpora swap the pattern for \\s+ — semantics stay the same.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A small function-word list that exists in the synthetic vocab; the
+    * language-ID heuristic is "function-word ratio over threshold".
+    */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "over")
+
+  def stopwordRatio(text: Column): Column = {
+    val w = tokens(text)
+    val stops = filter(w, t => t.isin(StopWords: _*))
+    size(stops).cast("double") / size(w)
+  }
+
+  /** n-gram-heuristic language ID: function-word density. Real corpora would
+    * use per-language character n-gram profiles; the decision structure
+    * (ratio → argmax/threshold) is identical.
+    */
+  def langId(text: Column, threshold: Double = 0.04): Column =
+    when(stopwordRatio(text) >= threshold, "en").otherwise("other")
+
+  /** Composite quality score in [0,1]: length, function-word density,
+    * mean token length, lexical diversity — each capped and equally
+    * weighted, rounded for cross-engine stability.
+    */
+  def qualityScore(text: Column): Column = {
+    val w = tokens(text)
+    val n = size(w).cast("double")
+    val lenScore = least(lit(1.0), n / 100.0)
+    val stopScore = least(lit(1.0), stopwordRatio(text) * 5.0)
+    val charSum = aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double")
+    val meanLenScore = least(lit(1.0), charSum / n / 8.0)
+    val diversity = size(array_distinct(w)).cast("double") / n
+    round((lenScore + stopScore + meanLenScore + diversity) / 4.0, 4)
+  }
+
+  /** 64-bit rolling document fingerprint: polynomial fold of per-token
+    * xxhash64 values. Order-sensitive (same bag of words, different order →
+    * different fingerprint), O(tokens), no shuffle.
+    */
+  def fingerprint(text: Column): Column = {
+    // modular rolling hash inside a 62-bit ring: ANSI-safe (no long overflow)
+    val p = 2147483647L // 2^31 - 1
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * lit(1000003L) + pmod(xxhash64(t), lit(p))) % lit(p))
+  }
+
+  private def pmod(c: Column, m: Column): Column = ((c % m) + m) % m
+
+  /** Convenience projection of all per-document text features. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

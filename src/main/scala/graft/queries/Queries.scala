@@ -41,4 +41,165 @@ object Queries {
       )
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** q2: selective filter + projection — predicate and column pruning must
+    * reach the parquet scan (PushedFilters / 2-column ReadSchema).
+    */
+  def q2Filter(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_custkey"))
+
+  /** q3: 3-way join — dims broadcast, fact never shuffled before the agg. */
+  def q3JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val o = table(spark, sfDir, "orders")
+    val c = table(spark, sfDir, "customer")
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sumCentsProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q4: top-3 parts by revenue within each brand (ranking window,
+    * deterministic tiebreak).
+    */
+  def q4TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = table(spark, sfDir, "lineitem")
+    val p = table(spark, sfDir, "part")
+    val rev = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sumCentsProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("revenue"), col("rk"))
+  }
+
+  /** q5: tumbling 1h event-time window (batch form of Windows.tumbling). */
+  def q5Tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumCents(col("value")).as("total_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** q6: sliding 1h window, 15m slide. */
+  def q6Sliding(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("n"))
+
+  /** q7: turn-gap sessionization per user (session_window, 30m gap). */
+  def q7Session(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** q8: CEP-style adjacent-pair pattern: purchase immediately followed by
+    * error for the same user within 10 minutes (lag/lead sequence detect).
+    */
+  def q8CepPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, sfDir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("next_id", lead(col("event_id"), 1).over(w))
+      .where(col("event_type") === "purchase" && col("next_type") === "error" &&
+        unix_micros(col("next_ts").cast("timestamp")) - unix_micros(col("ts").cast("timestamp")) <= 600L * 1000000L)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("next_id").as("error_id"))
+  }
+
+  /** q9: interval join (batch form of the stream-stream join): every error
+    * within 10 minutes after a purchase by the same user.
+    */
+  def q9IntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+    val a = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val b = ev.where(col("event_type") === "error")
+      .select(col("user_id").as("u2"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+    a.join(b, col("user_id") === col("u2") &&
+        col("e_ts") > col("p_ts") &&
+        unix_micros(col("e_ts").cast("timestamp")) - unix_micros(col("p_ts").cast("timestamp")) <= 600L * 1000000L)
+      .select(col("user_id"), col("purchase_id"), col("error_id"))
+  }
+
+  // ---- training-data ops over documents / embeddings ----
+
+  def q10DedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.exact(table(spark, sfDir, "documents"))
+
+  def q11NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccardPairs(table(spark, sfDir, "documents"), n = 3, threshold = 0.6)
+
+  def q12MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.minhashLshPairs(table(spark, sfDir, "documents"), n = 3, threshold = 0.6)
+
+  def q13Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.simhashPairs(table(spark, sfDir, "documents"), maxHamming = 7)
+
+  private def queryVec(spark: SparkSession, sfDir: String, id: Long): Array[Float] =
+    table(spark, sfDir, "embeddings").where(col("vec_id") === id)
+      .select(col("embedding")).first().getSeq[Float](0).toArray
+
+  def q14AnnBrute(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Similarity.bruteForceTopK(table(spark, sfDir, "embeddings"),
+      queryVec(spark, sfDir, 0L), k = 10, excludeId = Some(0L))
+
+  def q15AnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Similarity.ivfTopK(table(spark, sfDir, "embeddings"),
+      queryVec(spark, sfDir, 0L), k = 10, nlist = 16, nProbe = 8, excludeId = Some(0L))
+
+  def q16LangId(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("lang"), graft.ops.TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+
+  def q17Quality(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        round(avg(graft.ops.TextAnalysis.qualityScore(col("text"))), 4).as("avg_quality"),
+        count(lit(1)).as("n_docs"))
+
+  def q18Tokens(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        max(graft.ops.TextAnalysis.tokenCount(col("text"))).as("max_tokens"))
+
+  def q19Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.ops.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  def q20Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "customer")
+      .join(broadcast(table(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, sfDir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sumCents(col("c_acctbal")).as("total_bal"))
+
+  def q21Distinct(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+
+  def q22EmbDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.embeddingCosinePairs(table(spark, sfDir, "embeddings"), threshold = 0.4)
+
+  def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Multimodal.modalityStats(
+      graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))
 }

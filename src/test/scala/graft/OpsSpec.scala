@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data ops: dedup family, similarity search, text analysis,
+  * multimodal plumbing (invariants beyond the DuckDB oracle gate).
+  */
+class OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("minhash LSH pairs == exact n-gram jaccard pairs (full recall here)") {
+    assertSameRows(
+      Dedup.minhashLshPairs(docs, n = 3, threshold = 0.6),
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6),
+      "lsh vs exact")
+    assert(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6).count() > 0)
+  }
+
+  test("exact dedup counts duplicates") {
+    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 100000))
+    val d = Dedup.exact(doubled)
+    assert(d.count() == docs.count())
+    assert(d.agg(min(col("n_copies"))).first().getLong(0) == 2L)
+  }
+
+  test("simhash: guaranteed recall within maxHamming; near-dups detected") {
+    // banding guarantees every pair within maxHamming is found: cross-check
+    // against a direct all-pairs hamming computation
+    val sh9 = Dedup.simhashPairs(docs, maxHamming = 9).select("id1", "id2", "hamming")
+    val hashes = Dedup.simhash(docs)
+    val allPairs = hashes.toDF("id1", "s1").crossJoin(hashes.toDF("id2", "s2"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .where(col("hamming") <= 9)
+    assertSameRows(sh9, allPairs, "banding == brute-force within maxHamming")
+    // strong near-dups (jaccard >= 0.8 on this corpus all sit at hamming <= 9)
+    val nearDups = Dedup.ngramJaccardPairs(docs, 3, 0.8).select("id1", "id2")
+    assert(nearDups.count() > 0)
+    assert(nearDups.except(sh9.select("id1", "id2")).count() == 0)
+    // identical text → identical simhash
+    val s = Dedup.simhash(docs.limit(1).union(docs.limit(1)
+      .withColumn("doc_id", col("doc_id") + 1)))
+    assert(s.select("simhash").distinct().count() == 1)
+  }
+
+  test("fingerprint: equality iff same token sequence (on fixture corpus)") {
+    val fp = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val byFp = fp.groupBy("fp").agg(countDistinct("text").as("nt"))
+    assert(byFp.agg(max(col("nt"))).first().getLong(0) == 1L, "no fp collisions here")
+    // order sensitivity: reversed tokens → different fingerprint
+    val rev = docs.select(TextAnalysis.fingerprint(
+      concat_ws(" ", reverse(split(col("text"), " ")))).as("fpr"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    assert(rev.where(col("fp") === col("fpr")).count() == 0)
+  }
+
+  test("ANN: self-cosine is 1; IVF == brute force at these settings") {
+    val q = embs.where(col("vec_id") === 7L).select("embedding")
+      .first().getSeq[Float](0).toArray
+    val top = Similarity.bruteForceTopK(embs, q, k = 1)
+    val first = top.first()
+    assert(first.getLong(0) == 7L && math.abs(first.getDouble(1) - 1.0) < 1e-9)
+    assertSameRows(
+      Similarity.ivfTopK(embs, q, k = 10, nlist = 16, nProbe = 8, excludeId = Some(7L)),
+      Similarity.bruteForceTopK(embs, q, k = 10, excludeId = Some(7L)),
+      "ivf vs brute")
+  }
+
+  test("text analysis: ranges and determinism") {
+    val a = TextAnalysis.analyze(docs).cache()
+    val q = a.agg(min("quality"), max("quality")).first()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+    assert(a.where(col("lang_pred").isin("en", "other")).count() == docs.count())
+    assert(a.where(col("n_tokens") <= 0).count() == 0)
+  }
+
+  test("multimodal: deterministic features, fixed dim, partition-local") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val f1 = Multimodal.extractFeatures(media).toDF()
+    val f2 = Multimodal.extractFeatures(media.repartition(7)).toDF()
+    assert(f1.where(size(col("features")) =!= Multimodal.FeatureDim).count() == 0)
+    assertSameRows(f1, f2, "repartition-invariant decode")
+    val stats = Multimodal.modalityStats(media)
+    assert(stats.agg(sum("n_media")).first().getLong(0) == docs.count())
+  }
+}
