@@ -23,24 +23,40 @@ import graft.source.ChangeStreamReader
   */
 object CdcPipeline {
 
-  /** Route + write one micro-batch, exactly once. Also the unit under test
-    * for idempotent-replay: calling it twice with the same batchId is a
-    * no-op the second time.
+  /** Route + write one micro-batch, exactly once, in ONE pass: routing,
+    * enrichment and time-bucketing are columns; the route is a partition
+    * column (Spark's stand-in for the reference's side outputs); a single
+    * shuffle on the partition key bounds output file count by populated
+    * buckets, not by cores. Calling it twice with the same batchId is a
+    * no-op the second time (idempotent replay).
     */
   def processBatch(sink: ExactlyOnceSink, batch: DataFrame, batchId: Long): Unit = {
     if (sink.isCommitted(batchId)) return
-    val routed = Router.withRoute(batch).persist()
+    // Persist the routed micro-batch (size bounded by maxFilesPerTrigger):
+    // the range-partitioner's sampling pass, the real shuffle, and the
+    // lineage aggregation then all read the cache — the parquet scan +
+    // enrichment run exactly once per batch.
+    val keyed = routed(batch).persist()
     try {
-      val data = Router.enrich(routed.filter(col("route") === Router.RouteData).drop("route"))
-        .withColumn("evt_ts", coalesce(col("after.ts"), col("before.ts")))
-      val errors = Router.errorRecord(routed.filter(col("route") === Router.RouteError))
-      val schemas = Router.schemaChangeRecord(routed.filter(col("route") === Router.RouteSchema))
-      sink.writeSection("events", batchId, data, timeBucketCol = Some("evt_ts"))
-      sink.writeSection("errors", batchId, errors)
-      sink.writeSection("schema_changes", batchId, schemas)
-      sink.commit(batchId, sink.lineageOf(data, "evt_ts"))
-    } finally { routed.unpersist(); () }
+      sink.writeBatch(batchId, keyed)
+      val lineage = keyed
+        .groupBy(concat_ws("/", col("route"), col("p_date")).as("part"))
+        .agg(count(lit(1)).as("rows"),
+          coalesce(min(col("source.lsn")), lit(-1L)).as("minLsn"),
+          coalesce(max(col("source.lsn")), lit(-1L)).as("maxLsn"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      sink.commit(batchId, lineage)
+    } finally { keyed.unpersist(); () }
   }
+
+  /** The single-pass route + enrich + time-bucket projection. */
+  def routed(batch: DataFrame): DataFrame =
+    Router.enrich(Router.withRoute(batch))
+      .withColumn("evt_ts",
+        coalesce(col("after.ts"), col("before.ts"), timestamp_millis(col("ts_ms"))))
+      .withColumn("p_date", date_format(col("evt_ts"), "yyyy-MM-dd"))
+      .withColumn("p_hour", date_format(col("evt_ts"), "HH"))
 
   /** Start the streaming query over an already-spooled stream directory. */
   def start(spark: SparkSession, streamDir: String, outDir: String,

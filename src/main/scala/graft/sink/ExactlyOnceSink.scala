@@ -21,14 +21,23 @@ import org.apache.spark.sql.functions._
   *   - crash AFTER rename → `isCommitted` short-circuits the replay (no
   *     duplicate output).
   *
-  * The manifest carries per-partition lineage: row counts and [minLsn,
-  * maxLsn] per time-bucket partition — the per-partition offset lineage the
-  * north rule requires, and enough to audit gaps/overlaps across batches.
+  * Throughput/scaling design (measured — see BENCH/BASELINE.md history):
+  * ONE write job per batch. The three logical outputs (data / error /
+  * schema-change — the reference's side outputs) are a `route` partition
+  * column; the physical time bucket is `p_date` ONLY (≙ the reference's
+  * DateTimeBucketAssigner dirs, coarsened) — `p_hour` stays a data column
+  * pruned by parquet min/max stats, Iceberg-style, because long-running
+  * conversations make hourly dir cardinality explode (measured: a months-
+  * spanning hot conversation turned one batch into thousands of tiny files
+  * and a 48 s write). The batch is repartitioned on (partition cols +
+  * salt) before writing: write parallelism = buckets × salt, file count
+  * stays bounded and independent of input size. The naive alternative
+  * (3 filtered writes, tasks × dirs files) made 32 cores SLOWER than 8.
   *
-  * Scale: the data write is narrow (no shuffle); the lineage aggregation
-  * groups by the handful of output partitions of one micro-batch (bounded
-  * by maxFilesPerTrigger), so the driver-side collect is a few rows per
-  * batch regardless of total data size.
+  * The manifest carries per-(route, time-bucket) lineage: row counts and
+  * [minLsn, maxLsn] — the per-partition offset lineage the north rule
+  * requires, computed from the just-written files with a column-pruned read
+  * (never a second pass over the input).
   */
 final class ExactlyOnceSink(spark: SparkSession, outDir: String) extends Serializable {
 
@@ -36,6 +45,8 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String) extends Seriali
     FileSystem.get(new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
 
   private def manifestPath(batchId: Long) = new Path(f"$outDir/_manifest/batch-$batchId%09d.json")
+
+  private def batchDir(batchId: Long) = s"$outDir/events/batch=$batchId"
 
   def isCommitted(batchId: Long): Boolean = fs.exists(manifestPath(batchId))
 
@@ -48,26 +59,48 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String) extends Seriali
         .sorted.toSeq
   }
 
-  /** Write one section (events / errors / schema_changes) of a batch.
-    * Time-bucketed partition layout mirrors the reference's
-    * DateTimeBucketAssigner dirs (sink/S3Sink.scala:108-138).
+  /** Single-pass write of a routed, time-bucketed batch. `df` must carry
+    * `route`, `p_date`, `p_hour` columns.
+    *
+    * The pre-write shuffle key is (partition cols + salt): without the salt,
+    * write parallelism is capped at the number of populated time buckets
+    * (measured: 32 cores idled behind ~12 hourly buckets); with it, each
+    * bucket fans out over `salt` writers, and file count stays
+    * buckets × salt — still independent of input size.
     */
-  def writeSection(section: String, batchId: Long, df: DataFrame,
-      timeBucketCol: Option[String] = None): Unit = {
-    val dir = s"$outDir/$section/batch=$batchId"
-    timeBucketCol match {
-      case Some(tsCol) =>
-        df.withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
-          .withColumn("p_hour", date_format(col(tsCol), "HH"))
-          .write.mode("overwrite").partitionBy("p_date", "p_hour").parquet(dir)
-      case None =>
-        df.write.mode("overwrite").parquet(dir)
-    }
+  def writeBatch(batchId: Long, df: DataFrame): Unit = {
+    // RANGE partition on (route, p_date, salt): task load is volume-
+    // proportional (a hot date spans several consecutive tasks, light dates
+    // share one), parallelism is 2×cores regardless of bucket skew, and
+    // file count ≈ tasks + dates — hash salting instead multiplies files by
+    // salt × dates (measured: 2,900 files/batch on a 70-day batch).
+    val parts = math.max(2, 2 * spark.sparkContext.defaultParallelism)
+    df.withColumn("w_salt", pmod(xxhash64(col("ts_ms")), lit(parts)))
+      .repartitionByRange(parts, col("route"), col("p_date"), col("w_salt"))
+      .drop("w_salt")
+      .sortWithinPartitions("route", "p_date")
+      .write.mode("overwrite")
+      .partitionBy("route", "p_date")
+      .parquet(batchDir(batchId))
   }
 
-  /** Atomically publish the batch: lineage rows (one per partition) are
-    * computed by the caller; rename makes the commit visible.
+  /** Compute lineage from the written batch dir (column-pruned: reads only
+    * lsn + partition values) and atomically publish the manifest.
     */
+  def commitWithLineage(batchId: Long): Seq[(String, Long, Long, Long)] = {
+    val written = spark.read.option("basePath", batchDir(batchId)).parquet(batchDir(batchId))
+    val lineage = written
+      .groupBy(concat_ws("/", col("route"), col("p_date")).as("part"))
+      .agg(count(lit(1)).as("rows"),
+        coalesce(min(col("source.lsn")), lit(-1L)).as("minLsn"),
+        coalesce(max(col("source.lsn")), lit(-1L)).as("maxLsn"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    commit(batchId, lineage)
+    lineage
+  }
+
+  /** Atomically publish the batch (rename makes the commit visible). */
   def commit(batchId: Long, lineage: Seq[(String, Long, Long, Long)]): Unit = {
     val tmp = new Path(f"$outDir/_manifest/.tmp-batch-$batchId%09d.json")
     val dst = manifestPath(batchId)
@@ -79,26 +112,27 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String) extends Seriali
       .mkString("\n")
     val out = fs.create(tmp, true)
     out.write(body.getBytes("UTF-8")); out.close()
+    // local-fs rename does not overwrite; a replay re-commits identical
+    // content, so replacing the existing manifest is safe
+    if (fs.exists(dst)) fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"manifest rename failed for batch $batchId")
   }
 
-  /** Per-partition lineage of a batch's events: (partition, rows, minLsn, maxLsn). */
-  def lineageOf(df: DataFrame, tsCol: String): Seq[(String, Long, Long, Long)] = {
-    df.groupBy(date_format(col(tsCol), "yyyy-MM-dd/HH").as("part"))
-      .agg(count(lit(1)).as("rows"),
-        coalesce(min(col("source.lsn")), lit(-1L)).as("minLsn"),
-        coalesce(max(col("source.lsn")), lit(-1L)).as("maxLsn"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-  }
+  private val sectionRoute =
+    Map("events" -> "data", "errors" -> "error", "schema_changes" -> "schema")
 
-  /** Committed view of a section: only manifest-listed batch dirs. */
+  /** Committed view of one logical output (route partition pruning makes
+    * this a selective directory read).
+    */
   def readCommitted(section: String): Option[DataFrame] = {
+    val route = sectionRoute.getOrElse(section,
+      throw new IllegalArgumentException(s"unknown section $section"))
     val ids = committedBatchIds
-    val dirs = ids.map(id => s"$outDir/$section/batch=$id")
-      .filter(d => fs.exists(new Path(d)))
+    val dirs = ids.map(batchDir).filter(d => fs.exists(new Path(d)))
     if (dirs.isEmpty) None
-    else Some(spark.read.option("basePath", s"$outDir/$section").parquet(dirs: _*))
+    else Some(
+      spark.read.option("basePath", s"$outDir/events").parquet(dirs: _*)
+        .where(col("route") === route))
   }
 
   /** The lineage manifest as a DataFrame (metrics / audits). */

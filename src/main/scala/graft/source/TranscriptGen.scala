@@ -99,10 +99,14 @@ object TranscriptGen {
     val out = Seq.newBuilder[PhasedEvent]
 
     // --- snapshot turns (op='r'), monotone (turn_idx, ts) per conv ---
+    // long (session-breaking) gaps are capped in expectation per conversation
+    // so a zipf-hot conversation doesn't stretch over months of event time
+    // (which would explode time-bucket cardinality downstream)
+    val effLongGapProb = math.min(cfg.longGapProb, 20.0 / nTurns)
     var pendingTool: Option[String] = None
     val turns = (0 until nTurns).map { t =>
       val gap =
-        if (rng.nextDouble() < cfg.longGapProb) cfg.longGapMs + rng.nextInt(3600000)
+        if (rng.nextDouble() < effLongGapProb) cfg.longGapMs + rng.nextInt(3600000)
         else 1000L + rng.nextInt(30000)
       tsMs += gap
       val (role, tool) =
@@ -128,8 +132,12 @@ object TranscriptGen {
     }
 
     // --- incremental changes: interleaved c/u/d (+ malformed / schema) ---
+    // `liveKeys` is an O(1) random-pick structure (swap-remove on delete);
+    // the earlier sorted-array pick was O(n log n) PER EVENT, which made
+    // zipf-hot conversations (300k turns) take minutes to generate.
     val nChanges = math.max(0, math.round(nTurns * cfg.changeEventsPerTurn).toInt)
     val live = scala.collection.mutable.Map[Int, Turn](turns.map(t => t.turn_idx -> t): _*)
+    val liveKeys = scala.collection.mutable.ArrayBuffer[Int](turns.map(_.turn_idx): _*)
     var nextIdx = nTurns
     var chgTs = tsMs
     for (c <- 0 until nChanges) {
@@ -153,19 +161,21 @@ object TranscriptGen {
               words(rng, 5 + rng.nextInt(20)), None, new Timestamp(chgTs))
             nextIdx += 1
             live(tu.turn_idx) = tu
+            liveKeys += tu.turn_idx
             ChangeEvent(Some("c"), chgTs, None, Some(tu), Some(mkSource(chgTs, None, lsn)), None)
           } else if (kind < 0.85) {
             // update: rewrite text of an existing turn
-            val keys = live.keys.toArray.sorted
-            val k = keys(rng.nextInt(keys.length))
+            val k = liveKeys(rng.nextInt(liveKeys.length))
             val old = live(k)
             val neu = old.copy(text = old.text + s" [rev$c]", ts = new Timestamp(chgTs))
             live(k) = neu
             ChangeEvent(Some("u"), chgTs, Some(old), Some(neu), Some(mkSource(chgTs, None, lsn)), None)
           } else {
-            // delete
-            val keys = live.keys.toArray.sorted
-            val k = keys(rng.nextInt(keys.length))
+            // delete: swap-remove keeps the pick O(1)
+            val pos = rng.nextInt(liveKeys.length)
+            val k = liveKeys(pos)
+            liveKeys(pos) = liveKeys(liveKeys.length - 1)
+            liveKeys.remove(liveKeys.length - 1)
             val old = live.remove(k).get
             ChangeEvent(Some("d"), chgTs, Some(old), None, Some(mkSource(chgTs, None, lsn)), None)
           }

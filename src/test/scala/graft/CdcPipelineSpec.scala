@@ -99,10 +99,7 @@ class CdcPipelineSpec extends SparkSpec {
     assert(sink.committedBatchIds == Seq(0L))
 
     // crash-before-manifest: data dir exists, no manifest → replay heals it
-    val enriched = Router.enrich(Router.withRoute(events)
-      .filter(col("route") === "data").drop("route"))
-      .withColumn("evt_ts", coalesce(col("after.ts"), col("before.ts")))
-    sink.writeSection("events", 1L, enriched.limit(3), Some("evt_ts")) // partial, uncommitted
+    sink.writeBatch(1L, CdcPipeline.routed(events.limit(3))) // partial, uncommitted
     assert(sink.readCommitted("events").get.count() == c1) // invisible
     CdcPipeline.processBatch(sink, events, 1L)
     assert(sink.committedBatchIds == Seq(0L, 1L))

@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.Queries
+
+/** Physical-plan audits: the optimizations we rely on at 100 TB must
+  * actually appear in the executed plan — pushdown reaching the scan,
+  * broadcast joins for dims, whole-stage codegen in the hot paths.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q2: filter is pushed to the parquet scan; schema pruned") {
+    val p = plan(Queries.q2Filter(spark, sf))
+    assert(p.contains("PushedFilters") &&
+      (p.contains("o_orderpriority") || p.contains("IsNotNull")), p.take(800))
+    // ReadSchema carries only the needed columns, not all 6
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_orderstatus"),
+      readSchema)
+  }
+
+  test("q3: dimension joins are broadcast, fact side never pre-shuffled") {
+    val p = plan(Queries.q3JoinAgg(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "no sort-merge join for broadcastable dims")
+  }
+
+  test("q1: two-phase hash aggregate with map-side partials") {
+    val p = plan(Queries.q1Agg(spark, sf))
+    assert(p.contains("partial_sum"), "map-side partial aggregation present")
+    assert(p.contains("HashAggregate"))
+    // exactly one data exchange (the group-by), plus the output sort
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning")) == 1)
+  }
+
+  test("CDC routed projection stays narrow (no exchange before the sink shuffle)") {
+    import graft.pipeline.CdcPipeline
+    val df = graft.source.ChangeStreamReader.batch(spark,
+      { val d = tmpDir("plan"); // tiny synthetic stream dir
+        val cfg = graft.source.TranscriptGen.GenConfig(numConvs = 5)
+        graft.source.TranscriptGen.writeTable(spark, cfg, d)
+        graft.source.ChangeStreamReader.spoolSnapshot(spark, d, s"$d/stream")
+        s"$d/stream" })
+    val p = plan(CdcPipeline.routed(df))
+    assert(!p.contains("Exchange"), "route+enrich must be shuffle-free:\n" + p.take(800))
+    // "*(1)" prefix = whole-stage-codegen stage 1 in the compact rendering
+    assert(p.contains("*(1)"), "projection is codegen'd:\n" + p.take(300))
+  }
+}
