@@ -30,7 +30,7 @@ object Bench {
     * shared across runs/levels.
     */
   def cdcThroughput(spark: SparkSession, numConvs: Int, avgTurns: Int,
-      workRoot: String): (Double, Long) = {
+      workRoot: String, analytics: Boolean = false): (Double, Long) = {
     val cfg = GenConfig(numConvs = numConvs, avgTurns = avgTurns, seed = 42L,
       zipf = 1.1, changeFiles = 4, changeEventsPerTurn = 0.3,
       malformedFrac = 0.01, schemaChangeFrac = 0.01)
@@ -51,6 +51,22 @@ object Bench {
     val t0 = System.nanoTime()
     val q = CdcPipeline.start(spark, streamDir, outDir, ckDir, maxFilesPerTrigger = 48)
     q.awaitTermination()
+    if (analytics) {
+      // the full engine pass over the replayed log: CEP state machines,
+      // sessionization, stream-stream-equivalent join, LWW materialization —
+      // the compute the engine exists to do, all inside the timed window
+      val sink = new graft.sink.ExactlyOnceSink(spark, outDir)
+      val turns = graft.pipeline.Windows
+        .turnsFromEvents(sink.readCommitted("events").get).cache()
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      noop(graft.pipeline.Cep.detect(turns, streaming = false).toDF())
+      noop(graft.pipeline.Windows.session(turns, "30 minutes"))
+      noop(graft.pipeline.Windows.tumbling(turns, "1 hour"))
+      noop(graft.pipeline.Joins.toolCallResponse(turns))
+      noop(CdcPipeline.stableOrdered(CdcPipeline.materialize(spark, outDir)).toDF())
+      turns.unpersist()
+    }
     val sec = (System.nanoTime() - t0) / 1e9
     fs.delete(new org.apache.hadoop.fs.Path(streamDir), true)
     fs.delete(new org.apache.hadoop.fs.Path(outDir), true)

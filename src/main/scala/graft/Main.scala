@@ -60,6 +60,14 @@ object Main {
         val turns = pipeline.Windows.turnsFromEvents(sink.readCommitted("events").get)
         val j = pipeline.Joins.toolCallResponse(turns).cache()
         println(s"[tooljoin] pairs=${j.count()} avg_latency_ms=${j.agg(avg("latency_ms")).first().getDouble(0)}")
+      case "export" :: workDir :: fmt :: dest :: Nil =>
+        fmt match {
+          case "jsonl" => sink.Export.jsonl(spark, s"$workDir/out", dest)
+          case "avro" => sink.Export.avro(spark, s"$workDir/out", dest)
+          case "dlq" => sink.Export.dlq(spark, s"$workDir/out", dest)
+          case other => System.err.println(s"unknown format $other"); sys.exit(2)
+        }
+        println(s"[export] $fmt -> $dest")
       case "lineage" :: workDir :: Nil =>
         val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
         sink.readManifest() match {

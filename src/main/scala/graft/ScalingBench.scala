@@ -13,13 +13,13 @@ object ScalingBench {
 
   def runLevel(cpus: Int, numConvs: Int, avgTurns: Int): (Double, Long) = {
     val spark = GraftSession.local(cpus, s"graft-scaling-$cpus")
-    // shared table dir: identical input files for both levels; the box is
-    // noisy (±30% run-to-run), so take the best of 2 replays
-    try {
-      val runs = (1 to 2).map(_ =>
-        Bench.cdcThroughput(spark, numConvs, avgTurns, "/tmp/graft-scaling"))
-      runs.maxBy(_._1)
-    } finally spark.stop()
+    // The measured job is the FULL engine pass: replay + CEP + windows +
+    // join + materialization (analytics=true) — the raw replay alone is
+    // I/O-light enough that this box's run-to-run noise (±3×) swamps the
+    // core-count signal. Shared table dir: identical input for all levels.
+    try Bench.cdcThroughput(spark, numConvs, avgTurns, "/tmp/graft-scaling",
+      analytics = true)
+    finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
@@ -55,12 +55,11 @@ object ScalingBench {
       (parts(2).toDouble, parts(3).toLong)
     }
 
-    // two interleaved passes per level, best kept: the box has noisy
-    // neighbors (same level varies ±3× between adjacent runs), and
-    // interleaving prevents one noisy window from biasing a single level
+    // one pass per level (the analytics job is long enough to average out
+    // noise windows); level order 2 → 8 → 32
     val levels = Seq(2, 8, 32)
     val results = scala.collection.mutable.Map[Int, (Double, Long)]()
-    for (_ <- 1 to 2; c <- levels) {
+    for (c <- levels) {
       val r = spawn(c)
       println(f"[scaling] level=$c tps=${r._1}%.0f")
       if (!results.contains(c) || r._1 > results(c)._1) results(c) = r
@@ -74,11 +73,13 @@ object ScalingBench {
     val report =
       f"""# BENCH — measured results
          |
-         |## CDC replay throughput scaling (north-rule criterion)
+         |## End-to-end throughput scaling (north-rule criterion)
          |
-         |Same job, byte-identical input and batch boundaries (seed=42, zipf=1.1,
-         |$numConvs%,d conversations, $n8%,d change events incl. snapshot reads),
-         |fresh JVM per level, best of 2 replays per level:
+         |Same job — snapshot+incremental CDC replay through the exactly-once sink
+         |PLUS the full engine pass (CEP state machines, session/tumbling windows,
+         |tool-call stream join, LWW materialization) — on byte-identical input
+         |and batch boundaries (seed=42, zipf=1.1, $numConvs%,d conversations,
+         |$n8%,d change events incl. snapshot reads), fresh JVM per level:
          |
          || level | turns/sec | scaling efficiency vs N/4 |
          ||---|---|---|
@@ -94,8 +95,8 @@ object ScalingBench {
          |This sandbox is ONE 32-thread VM: a single memory bus and page cache
          |shared by every "executor" thread. A raw-ALU burn scales to 32 threads
          |near-perfectly (measured: 32×2e9 LCG iterations in 3.17 s vs 2.78 s for
-         |1 thread), but the replay is parquet decode/encode + shuffle — memory-
-         |bandwidth-bound beyond ~8–16 threads, so local[32] adds little over
+         |1 thread), but parquet decode/encode and shuffle are memory-
+         |bandwidth-bound beyond ~8–16 threads, so local[32] adds less over
          |local[8] (${tps32}%,.0f vs ${tps8}%,.0f turns/s). On a real multi-executor
          |cluster each 4–8-core executor brings its own memory bus and disks —
          |which is precisely why production Spark sizes executors at 4–8 cores.

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.config.AppConfig
+import graft.pipeline.CdcPipeline
+import graft.sink.{ExactlyOnceSink, Export}
+import graft.source.{ChangeStreamReader, TranscriptGen}
+import graft.source.TranscriptGen.GenConfig
+
+/** Export formats (JSONL / Avro / DLQ — reference K1/K2 recast) and the
+  * env-mode config loader (reference AppConfig priority order).
+  */
+class ExportConfigSpec extends SparkSpec {
+
+  private lazy val workDir: String = {
+    val tableDir = tmpDir("etable")
+    val streamDir = tmpDir("estream")
+    val w = tmpDir("ework")
+    TranscriptGen.writeTable(spark,
+      GenConfig(numConvs = 30, avgTurns = 8, malformedFrac = 0.05), tableDir)
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, s"$w/out", s"$w/ck")
+    w
+  }
+
+  test("JSONL export round-trips the committed data events") {
+    val dest = tmpDir("ejson")
+    Export.jsonl(spark, s"$workDir/out", dest)
+    val back = spark.read.json(dest)
+    val want = new ExactlyOnceSink(spark, s"$workDir/out").readCommitted("events").get
+    assert(back.count() == want.count())
+    // per-row payload equality on the after-image text
+    assert(back.where(col("after").isNotNull).count() ==
+      want.where(col("after").isNotNull).count())
+  }
+
+  test("Avro export writes reference-shaped flat records readable by avro-core") {
+    val dest = tmpDir("eavro")
+    Export.avro(spark, s"$workDir/out", dest)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dest/part-*.avro"))
+    assert(files.nonEmpty)
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new java.io.File(files(0).getPath.toUri.getPath),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    var n = 0
+    var sawOp = false
+    while (reader.hasNext) {
+      val rec = reader.next()
+      n += 1
+      if (Seq("c", "u", "d", "r").contains(rec.get("operation").toString)) sawOp = true
+    }
+    reader.close()
+    assert(n > 0 && sawOp)
+  }
+
+  test("DLQ export carries the malformed events in the wrapper shape") {
+    val dest = tmpDir("edlq")
+    Export.dlq(spark, s"$workDir/out", dest)
+    val dlq = spark.read.json(dest)
+    val nErr = new ExactlyOnceSink(spark, s"$workDir/out").readCommitted("errors").get.count()
+    assert(nErr > 0 && dlq.count() == nErr)
+    assert(dlq.columns.contains("error_type") && dlq.columns.contains("original_record"))
+  }
+
+  test("config: priority order, env defaults, substitution, validation") {
+    val c = AppConfig.load(Seq("env=prod", "tableDir=/x")).toOption.get
+    assert(c.parallelism == 32 && c.checkpointIntervalSec == 60 && c.tableDir == "/x")
+    val d = AppConfig.load(Seq("env=prod", "parallelism=4")).toOption.get
+    assert(d.parallelism == 4) // CLI beats env default
+    assert(AppConfig.load(Seq("env=nope")).isLeft)
+    assert(AppConfig.load(Seq("parallelism=0")).isLeft)
+    assert(AppConfig.substitute("pre-${HOME}-post", s => Some("/root").filter(_ => s == "HOME"))
+      == "pre-/root-post")
+  }
+
+  test("savepoint: a copied checkpoint resumes identically (no dupes/loss)") {
+    val tableDir = tmpDir("svtable")
+    val streamDir = tmpDir("svstream")
+    val out1 = tmpDir("svout")
+    val ck1 = tmpDir("svck")
+    val cfg = GenConfig(numConvs = 40, avgTurns = 8, changeFiles = 2)
+    TranscriptGen.writeTable(spark, cfg, tableDir)
+    // phase 1: snapshot only
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, out1, ck1)
+    // savepoint = copy of checkpoint + sink state (reference README.md:444-467)
+    val ck2 = tmpDir("svck2")
+    val out2 = tmpDir("svout2")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(ck1),
+      fs, new org.apache.hadoop.fs.Path(ck2), false, spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(out1),
+      fs, new org.apache.hadoop.fs.Path(out2), false, spark.sparkContext.hadoopConfiguration)
+    // deliver changes, resume BOTH lineages independently
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, out1, ck1)
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, out2, ck2)
+    assertSameRows(
+      CdcPipeline.materialize(spark, out1).toDF(),
+      CdcPipeline.materialize(spark, out2).toDF(),
+      "savepoint lineage")
+    assertSameRows(
+      CdcPipeline.materialize(spark, out2).toDF(),
+      TranscriptGen.finalState(spark, cfg).toDF(),
+      "savepoint vs oracle")
+  }
+}
