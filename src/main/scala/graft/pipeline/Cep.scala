@@ -100,13 +100,29 @@ object Cep {
       return out.iterator
     }
     var s = state.getOption.getOrElse(emptyState)
-    var pending = s.pending ++ it.map(t => t.turn_idx -> t)
-    var frontier = s.nextIdx
-    while (pending.contains(frontier)) {
-      val t = pending(frontier)
-      pending -= frontier
-      s = step(conv, t, s, out)
-      frontier = s.nextIdx
+    // Hot-key fast path: sort the arriving turns once; when they form a
+    // dense run from the frontier (the common case — and always true for a
+    // whole conversation arriving in one batch), no per-event map churn
+    // happens at all. A zipf-hot conversation (~10^6 turns in one group)
+    // is bounded by this loop, so its constant factor is the engine's
+    // per-key ceiling.
+    val arr = it.toArray.sortBy(_.turn_idx)
+    var i = 0
+    var pending = s.pending
+    while (i < arr.length || pending.contains(s.nextIdx)) {
+      if (i < arr.length && arr(i).turn_idx == s.nextIdx) {
+        s = step(conv, arr(i), s, out)
+        i += 1
+      } else if (pending.contains(s.nextIdx)) {
+        val t = pending(s.nextIdx)
+        pending -= s.nextIdx
+        s = step(conv, t, s, out)
+      } else if (i < arr.length && arr(i).turn_idx < s.nextIdx) {
+        i += 1 // stale duplicate below the frontier: already processed
+      } else {
+        // gap: everything still unprocessed waits in the pending buffer
+        while (i < arr.length) { pending += (arr(i).turn_idx -> arr(i)); i += 1 }
+      }
     }
     s = s.copy(pending = pending)
     state.update(s)
