@@ -82,11 +82,19 @@ object Bench {
     // warmup: JIT + parquet footers, not recorded
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failing query must surface as an error, never as a fast time: its
+    // entry is dropped from the timings and recorded under "errors" instead.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+          None
+      }
     }
 
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toInt
@@ -94,9 +102,13 @@ object Bench {
     val (tps, nEvents) = cdcThroughput(spark, benchConvs, benchTurns, "/tmp/graft-bench")
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_turns_per_sec":$tps%.0f,"cdc_events":$nEvents,"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cdc_turns_per_sec":$tps%.0f,"cdc_events":$nEvents,"cpus":$cpus}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(3)
   }
 }

@@ -122,7 +122,7 @@ object SparkEntry {
       """WITH o AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts,
         |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
@@ -164,7 +164,7 @@ object SparkEntry {
          |FROM t GROUP BY source""".stripMargin,
     "q18_tokens" ->
       """SELECT source, sum(len(string_split(text,' '))) AS total_tokens,
-        |  max(len(string_split(text,' '))) AS max_tokens
+        |  CAST(max(len(string_split(text,' '))) AS BIGINT) AS max_tokens
         |FROM documents GROUP BY source""".stripMargin,
     "q20_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,

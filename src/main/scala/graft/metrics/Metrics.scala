@@ -63,3 +63,48 @@ object Metrics {
     l
   }
 }
+
+/** Per-event source-latency monitor (≙ reference
+  * monitoring/CDCMonitor.scala:28-30: warn when now − source.ts_ms exceeds
+  * 10 s). The reference logs per event from inside the data plane; here the
+  * check is ONE aggregate over the already-cached micro-batch (max / avg
+  * latency + late-event count), so the hot path stays codegen'd and the
+  * alert cost is independent of batch size.
+  */
+object LatencyMonitor {
+
+  final case class LatencyStats(batchId: Long, maxLatencyMs: Long,
+      avgLatencyMs: Double, lateEvents: Long, events: Long)
+
+  /** Reference threshold: 10 s (CDCMonitor.scala:28). */
+  val DefaultAlertMs = 10000L
+
+  val history = new ConcurrentLinkedQueue[LatencyStats]()
+  val alerts = new ConcurrentLinkedQueue[LatencyStats]()
+
+  def clear(): Unit = { history.clear(); alerts.clear() }
+
+  /** Aggregate batch latency vs `nowMs` and record an alert if any event
+    * exceeds the threshold. `batch` must carry `source.ts_ms`.
+    */
+  def check(batchId: Long, batch: org.apache.spark.sql.DataFrame,
+      alertMs: Long = DefaultAlertMs,
+      nowMs: Long = System.currentTimeMillis()): LatencyStats = {
+    import org.apache.spark.sql.functions._
+    val lat = lit(nowMs) - col("source.ts_ms")
+    val r = batch.agg(
+      coalesce(max(lat), lit(0L)),
+      coalesce(avg(lat), lit(0.0)),
+      count(when(lat > alertMs, 1)),
+      count(lit(1))).first()
+    val st = LatencyStats(batchId, r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+    history.add(st)
+    if (st.lateEvents > 0) {
+      alerts.add(st)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        f"[latency] batch=$batchId ${st.lateEvents} of ${st.events} events over ${alertMs}ms " +
+          f"(max=${st.maxLatencyMs}ms avg=${st.avgLatencyMs}%.0fms)")
+    }
+    st
+  }
+}

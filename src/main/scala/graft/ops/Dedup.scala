@@ -24,12 +24,17 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
-  /** Distinct word n-grams per document: (id, gram). Narrow explode. */
+  /** Distinct word n-grams per document: (id, gram). Narrow explode.
+    * Documents shorter than n tokens yield no grams (guarded: an unguarded
+    * descending `sequence` would throw under Spark 4 ANSI semantics).
+    */
   def grams(docs: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val w = split(col(textCol), " ")
+    val idx = when(size(w) >= n, sequence(lit(0), size(w) - n))
+      .otherwise(array().cast("array<int>"))
     val g = transform(
-      sequence(lit(0), size(w) - n),
+      idx,
       i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
     docs.select(col(idCol).as("id"), explode(array_distinct(g)).as("gram"))
   }

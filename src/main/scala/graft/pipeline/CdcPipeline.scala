@@ -39,6 +39,11 @@ object CdcPipeline {
     val keyed = routed(batch).persist()
     try {
       sink.writeBatch(batchId, keyed)
+      // per-batch source-latency alert (reference CDCMonitor's 10 s warn);
+      // one aggregate over the cached batch, disabled with threshold <= 0
+      val alertMs = sys.props.get("graft.latencyAlertMs").map(_.toLong)
+        .getOrElse(graft.metrics.LatencyMonitor.DefaultAlertMs)
+      if (alertMs > 0) graft.metrics.LatencyMonitor.check(batchId, keyed, alertMs)
       val lineage = keyed
         .groupBy(concat_ws("/", col("route"), col("p_date")).as("part"))
         .agg(count(lit(1)).as("rows"),

@@ -86,17 +86,67 @@ object Cep {
       prevRole = Some(t.role), prevIdx = t.turn_idx, prevTsMs = t.tsMs)
   }
 
+  /** Arm the event-time timeout while anything is left in state: an open
+    * tool call waiting for its response, or a pending buffer waiting behind
+    * a turn_idx gap. The timeout must sit strictly above the watermark.
+    */
+  private def armTimeout(state: GroupState[CepState], s: CepState,
+      horizonMs: Long): Unit = {
+    val cands =
+      s.openCall.map(_.tsMs + horizonMs).toSeq ++
+        (if (s.pending.nonEmpty) Seq(s.pending.valuesIterator.map(_.tsMs).min + horizonMs)
+         else Nil)
+    if (cands.nonEmpty) {
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(cands.min, wm + 1))
+    }
+  }
+
+  /** Drain buffered turns whose grace period has fully passed: once the
+    * watermark exceeds a buffered turn's ts + horizon, its missing
+    * predecessor can never legally arrive (per-conversation ts is monotone
+    * in turn_idx), so the gap is permanent — advance the frontier past it
+    * and process the tail in order. Without this, one lost event (malformed
+    * → error route, filtered insert) pins the conversation's pending buffer
+    * forever: an unbounded state leak at 10^12 turns.
+    */
+  private def drainRipePending(conv: String, s0: CepState, wmMs: Long,
+      horizonMs: Long, out: scala.collection.mutable.Buffer[PatternMatch]): CepState = {
+    var s = s0
+    var pending = s.pending
+    var keys = pending.keys.toSeq.sorted
+    while (keys.nonEmpty && pending(keys.head).tsMs + horizonMs <= wmMs) {
+      val t = pending(keys.head)
+      pending -= keys.head
+      s = step(conv, t, s, out)
+      // stepping may unlock in-order successors already buffered
+      while (pending.contains(s.nextIdx)) {
+        val nxt = pending(s.nextIdx); pending -= s.nextIdx
+        s = step(conv, nxt, s, out)
+      }
+      keys = pending.keys.toSeq.sorted
+    }
+    s.copy(pending = pending)
+  }
+
   private def process(conv: String, it: Iterator[TurnLite],
       state: GroupState[CepState], streaming: Boolean,
       horizonMs: Long): Iterator[PatternMatch] = {
     val out = scala.collection.mutable.Buffer[PatternMatch]()
     if (streaming && state.hasTimedOut) {
-      val s = state.getOption.getOrElse(emptyState)
-      s.openCall.foreach { o =>
+      var s = state.getOption.getOrElse(emptyState)
+      val wm = state.getCurrentWatermarkMs()
+      // 1. permanent-gap drain (may itself open a new tool call)
+      s = drainRipePending(conv, s, wm, horizonMs, out)
+      // 2. expired open call → unanswered_tool_call
+      if (s.openCall.exists(_.tsMs + horizonMs <= wm)) {
+        val o = s.openCall.get
         out += mk(conv, "unanswered_tool_call", o.idx, o.idx, o.tsMs,
           o.tsMs + horizonMs, o.tool)
+        s = s.copy(openCall = None)
       }
-      state.update(s.copy(openCall = None))
+      state.update(s)
+      armTimeout(state, s, horizonMs)
       return out.iterator
     }
     var s = state.getOption.getOrElse(emptyState)
@@ -125,12 +175,14 @@ object Cep {
       }
     }
     s = s.copy(pending = pending)
-    state.update(s)
-    if (streaming && s.openCall.isDefined) {
-      // timeout must sit strictly above the current watermark or Spark throws
-      val wm = state.getCurrentWatermarkMs()
-      state.setTimeoutTimestamp(math.max(s.openCall.get.tsMs + horizonMs, wm + 1))
+    if (!streaming && s.pending.nonEmpty) {
+      // batch input is complete: a residual gap is permanent by definition —
+      // drain the tail in order so a missing turn_idx can't truncate the
+      // conversation's pattern stream (mirrors the streaming timeout drain)
+      s = drainRipePending(conv, s, Long.MaxValue, 0L, out)
     }
+    state.update(s)
+    if (streaming) armTimeout(state, s, horizonMs)
     out.iterator
   }
 

@@ -175,7 +175,9 @@ object Queries {
       .groupBy(col("source"))
       .agg(
         sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
-        max(graft.ops.TextAnalysis.tokenCount(col("text"))).as("max_tokens"))
+        // cast to long so the physical type matches DuckDB's wider max()
+        // integer (r1: values matched, hash failed on INT32 vs INT64)
+        max(graft.ops.TextAnalysis.tokenCount(col("text"))).cast("long").as("max_tokens"))
 
   def q19Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")

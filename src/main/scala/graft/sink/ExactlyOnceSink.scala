@@ -112,9 +112,10 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String) extends Seriali
       .mkString("\n")
     val out = fs.create(tmp, true)
     out.write(body.getBytes("UTF-8")); out.close()
-    // local-fs rename does not overwrite; a replay re-commits identical
-    // content, so replacing the existing manifest is safe
-    if (fs.exists(dst)) fs.delete(dst, false)
+    // A replay re-commits byte-identical content, so an existing manifest
+    // can be kept as-is: delete-then-rename would open a window where a
+    // concurrent reader transiently sees the batch as uncommitted.
+    if (fs.exists(dst)) { fs.delete(tmp, false); return }
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"manifest rename failed for batch $batchId")
   }
 

@@ -39,19 +39,55 @@ object Export {
       |{"name":"data_quality_score","type":"double"}
       |]}""".stripMargin
 
-  /** Committed data events → JSONL, time-bucket partitioned. */
-  def jsonl(spark: SparkSession, workOut: String, dest: String): Unit = {
+  /** Output-format / compression whitelist (≙ reference
+    * validation/EnvironmentValidator.scala:110-119). `validate` throws on
+    * anything outside it — the same fail-fast the reference applies before
+    * starting the job.
+    */
+  val Formats: Set[String] = Set("json", "avro", "parquet")
+  val Compressions: Set[String] = Set("none", "gzip", "snappy", "lz4")
+
+  def validateFormat(format: String, compression: String): Unit = {
+    require(Formats.contains(format),
+      s"unsupported output format '$format' (one of ${Formats.mkString("/")})")
+    require(Compressions.contains(compression),
+      s"unsupported compression '$compression' (one of ${Compressions.mkString("/")})")
+    require(!(format == "avro" && compression == "lz4"),
+      "avro supports none/gzip/snappy (lz4 is parquet/json-only here)")
+  }
+
+  /** Committed data events → JSONL, time-bucket partitioned.
+    * `maxRecordsPerFile` is the size-based rolling control (≙ reference
+    * sink/S3Sink.scala:262-293 rolling policy, recast as Spark's native
+    * file-rolling option).
+    */
+  def jsonl(spark: SparkSession, workOut: String, dest: String,
+      compression: String = "none", maxRecordsPerFile: Long = 0L): Unit = {
+    validateFormat("json", compression)
     val sink = new ExactlyOnceSink(spark, workOut)
     val ev = sink.readCommitted("events")
       .getOrElse(throw new IllegalStateException("no committed batches"))
     ev.drop("batch")
       .repartitionByRange(math.max(2, spark.sparkContext.defaultParallelism),
         col("p_date"), col("ts_ms"))
-      .write.mode("overwrite").partitionBy("p_date").json(dest)
+      .write.mode("overwrite")
+      .option("compression", if (compression == "none") "uncompressed" else compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("p_date").json(dest)
   }
 
-  /** Committed data events → Avro (reference-shaped flat record). */
-  def avro(spark: SparkSession, workOut: String, dest: String): Unit = {
+  /** Committed data events → Avro (reference-shaped flat record).
+    *
+    * Write protocol (task-retry/replay safe): every task writes
+    * `.staging-parts/part-<partitionId>.avro` with overwrite — a retried or
+    * speculative attempt of the same partition lands on the same name — and
+    * the driver publishes the staging dir by clearing stale part files and
+    * renaming the staged ones in. A crash mid-publish leaves either the old
+    * or the new file per partition, never a duplicate record.
+    */
+  def avro(spark: SparkSession, workOut: String, dest: String,
+      compression: String = "none"): Unit = {
+    validateFormat("avro", compression)
     val sink = new ExactlyOnceSink(spark, workOut)
     val ev = sink.readCommitted("events")
       .getOrElse(throw new IllegalStateException("no committed batches"))
@@ -67,16 +103,24 @@ object Export {
       col("data_quality_score"))
     val schemaStr = avroSchemaJson
     val destDir = dest
+    val stagingDir = s"$dest/.staging-parts"
+    val codec = compression
     flat.repartition(math.max(2, spark.sparkContext.defaultParallelism))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val schema = new Schema.Parser().parse(schemaStr)
-          val part = f"part-${java.util.UUID.randomUUID()}.avro"
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val part = f"part-$pid%05d.avro"
           val fs = org.apache.hadoop.fs.FileSystem.get(
             new java.net.URI(destDir), new org.apache.hadoop.conf.Configuration())
-          fs.mkdirs(new org.apache.hadoop.fs.Path(destDir))
-          val out = fs.create(new org.apache.hadoop.fs.Path(s"$destDir/$part"), true)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(stagingDir))
+          val out = fs.create(new org.apache.hadoop.fs.Path(s"$stagingDir/$part"), true)
           val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+          codec match {
+            case "gzip" => writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+            case "snappy" => writer.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+            case _ =>
+          }
           writer.create(schema, out)
           it.foreach { r =>
             val rec = new GenericData.Record(schema)
@@ -94,6 +138,18 @@ object Export {
           writer.close()
         }
       }
+    // publish: drop stale part files, then rename the staged ones in
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(destDir), spark.sparkContext.hadoopConfiguration)
+    val stPath = new org.apache.hadoop.fs.Path(stagingDir)
+    val staged =
+      if (fs.exists(stPath)) fs.globStatus(new org.apache.hadoop.fs.Path(s"$stagingDir/part-*.avro"))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$destDir/part-*.avro"))
+      .foreach(s => fs.delete(s.getPath, false))
+    staged.foreach(s =>
+      fs.rename(s.getPath, new org.apache.hadoop.fs.Path(s"$destDir/${s.getPath.getName}")))
+    if (fs.exists(stPath)) fs.delete(stPath, true)
   }
 
   /** Dead-letter export: the error route in the reference's wrapper shape

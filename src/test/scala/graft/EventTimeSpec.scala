@@ -152,6 +152,36 @@ class EventTimeSpec extends SparkSpec {
       ("unanswered_tool_call", 8))) // ← the timeout-fired one
   }
 
+  test("CEP streaming: permanent turn_idx gap is drained after the horizon") {
+    val dir = tmpDir("cepgap")
+    // turn 1 never arrives (e.g. malformed → error route): the frontier must
+    // advance past the gap once the watermark clears the horizon, and the
+    // buffered tail (2→3 roundtrip) must still be emitted with bounded state
+    writeTurnFile(dir, "b1", Seq(
+      t("cg", 0, "user", None, 0),
+      t("cg", 2, "assistant", Some("sql"), 20),
+      t("cg", 3, "tool", Some("sql"), 30)))
+    writeTurnFile(dir, "b2", Seq(t("adv", 0, "user", None, 86400)))
+    writeTurnFile(dir, "b3", Seq(t("adv", 1, "user", None, 172800)))
+    val stream = streamTurns(dir).withWatermark("ts", "5 seconds")
+    val got = runToMemory(Cep.detect(stream, streaming = true, horizonMs = 60000L).toDF(),
+      "cep_gap", "append")
+      .where(col("conv_id") === "cg")
+      .collect().map(r => (r.getAs[String]("pattern"), r.getAs[Int]("start_turn"))).toSet
+    assert(got == Set(("tool_roundtrip", 2)))
+  }
+
+  test("CEP batch: residual gap is drained at end of input") {
+    import spark.implicits._
+    val turns = Seq(
+      t("cb", 0, "user", None, 0),
+      t("cb", 2, "assistant", Some("sql"), 20),
+      t("cb", 3, "tool", Some("sql"), 30))
+    val got = Cep.detect(spark.createDataset(turns).toDF(), streaming = false)
+      .collect().map(m => (m.pattern, m.start_turn, m.end_turn)).toSet
+    assert(got == Set(("tool_roundtrip", 2, 3)))
+  }
+
   test("CEP is robust to out-of-order arrival across batches") {
     val dir = tmpDir("cepooo")
     // deliver the conversation back-to-front; pending buffer must reorder

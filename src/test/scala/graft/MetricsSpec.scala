@@ -30,4 +30,21 @@ class MetricsSpec extends SparkSpec {
       assert(listener.errors == 0)
     } finally spark.streams.removeListener(listener)
   }
+
+  test("latency monitor alerts when events exceed the 10s threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.metrics.LatencyMonitor.clear()
+    val now = System.currentTimeMillis()
+    def batch(tsMs: Long) =
+      Seq(tsMs).toDF("v").select(struct(col("v").as("ts_ms")).as("source"))
+    // fresh event (1s old): no alert
+    val ok = graft.metrics.LatencyMonitor.check(1L, batch(now - 1000), nowMs = now)
+    assert(ok.lateEvents == 0 && graft.metrics.LatencyMonitor.alerts.isEmpty)
+    // stale event (30s old): alert recorded with correct latency
+    val bad = graft.metrics.LatencyMonitor.check(2L, batch(now - 30000), nowMs = now)
+    assert(bad.lateEvents == 1 && bad.maxLatencyMs == 30000)
+    assert(graft.metrics.LatencyMonitor.alerts.size() == 1)
+    assert(graft.metrics.LatencyMonitor.history.size() == 2)
+  }
 }
