@@ -14,6 +14,7 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -25,6 +26,9 @@ object GraftSession {
       )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // getOrCreate may return a pre-existing session built without the
+    // extensions config — the imperative path is idempotent either way
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     spark
   }
 }

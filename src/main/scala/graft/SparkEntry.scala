@@ -64,6 +64,46 @@ object SparkEntry {
       |FROM c JOIN n n1 ON c.id1 = n1.doc_id JOIN n n2 ON c.id2 = n2.doc_id
       |WHERE inter * 1.0 / (n1.ng + n2.ng - inter) >= 0.6""".stripMargin
 
+  /** q22 mirror: every step of Dedup.embeddingNearDupPairs is a
+    * deterministic integer function (md5 dims/signs/hyperplanes, integer
+    * dots, rational threshold), so the oracle reproduces the ENTIRE
+    * pipeline — embedding, banding, candidate join, exact verify — with
+    * zero cross-engine FP ambiguity. Constants must match the Scala
+    * defaults: dims=256, n=3, bands=40, bitsPerBand=12 (planes 0..479),
+    * threshold 4/5 (⇔ 25·dot² ≥ 16·|a|²·|b|², dot > 0).
+    */
+  private val embDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |      FROM t, (SELECT unnest(generate_series(1, 4000)) AS i) s
+      |      WHERE i <= len(w) - 2),
+      |gd AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 256 AS BIGINT) AS dim,
+      |         CASE WHEN ('0x' || substr(md5(gram), 9, 1))::UBIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      |       FROM g),
+      |sp AS (SELECT doc_id, dim, SUM(sgn) AS v FROM gd GROUP BY 1, 2 HAVING SUM(sgn) <> 0),
+      |nrm AS (SELECT doc_id, SUM(v*v) AS n2 FROM sp GROUP BY 1),
+      |hp AS (SELECT p, d,
+      |         CASE WHEN ('0x' || substr(md5('h:' || p || ':' || d), 1, 1))::UBIGINT % 2 = 0
+      |              THEN 1 ELSE -1 END AS hs
+      |       FROM (SELECT unnest(generate_series(0, 479)) AS p),
+      |            (SELECT unnest(generate_series(0, 255)) AS d)),
+      |bits AS (SELECT doc_id, p, CASE WHEN SUM(v * hs) > 0 THEN 1 ELSE 0 END AS bit
+      |         FROM sp JOIN hp ON sp.dim = hp.d GROUP BY doc_id, p),
+      |ks AS (SELECT doc_id, p // 12 AS band, SUM(bit << (p % 12)) AS bkey
+      |       FROM bits GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |         FROM ks a JOIN ks b
+      |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |dots AS (SELECT c.id1, c.id2, SUM(sa.v * sb.v) AS dot
+      |         FROM cand c
+      |         JOIN sp sa ON sa.doc_id = c.id1
+      |         JOIN sp sb ON sb.doc_id = c.id2 AND sa.dim = sb.dim
+      |         GROUP BY 1, 2)
+      |SELECT d.id1, d.id2, round(d.dot / sqrt(na.n2 * nb.n2), 4) AS cosine
+      |FROM dots d JOIN nrm na ON na.doc_id = d.id1 JOIN nrm nb ON nb.doc_id = d.id2
+      |WHERE d.dot > 0 AND 25 * d.dot * d.dot >= 16 * na.n2 * nb.n2""".stripMargin
+
   private val annBruteSql: String =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
       |s AS (SELECT vec_id,
@@ -176,15 +216,7 @@ object SparkEntry {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
-    "q22_emb_dedup" ->
-      """SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-        |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-        |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-        |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-        |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""".stripMargin
+    "q22_emb_dedup" -> embDedupSql
     // q13_simhash, q19_fingerprint: engine-hash-specific (xxhash64) → rows-only
     // q23_multimodal: mapPartitions decode stub → rows-only
   )

@@ -1,0 +1,222 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expressions for deterministic embedding construction and
+  * LSH banding — the Spark-first replacement for the r1 all-pairs
+  * embedding-cosine join (VERDICT.md "What's wrong" #2).
+  *
+  * Everything here is an exact, engine-independent function of its input
+  * (md5-derived dims / signs / hyperplanes, integer arithmetic only), so a
+  * DuckDB oracle reproduces each step bit-for-bit — approximation lives in
+  * WHICH candidate pairs are generated, never in any computed value.
+  *
+  * All three expressions implement `doGenCode` by delegating to the static
+  * helpers in [[HashingKernels]], keeping whole-stage codegen unbroken.
+  */
+object HashingKernels {
+
+  private val mdLocal = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def md5hex(s: String): String = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** dims-long signed n-gram count vector: for each DISTINCT word n-gram g,
+    * dim = first 8 md5-hex chars of g as uint mod dims, sign = parity of the
+    * 9th hex char. One pass per document — no explode, no shuffle.
+    */
+  def embed(text: String, dims: Int, n: Int): Array[Long] = {
+    val w = text.split(" ", -1)
+    val v = new Array[Long](dims)
+    if (w.length >= n) {
+      val seen = new java.util.HashSet[String]((w.length * 2) max 16)
+      var i = 0
+      while (i <= w.length - n) {
+        val sb = new java.lang.StringBuilder(w(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(w(i + k)); k += 1 }
+        val g = sb.toString
+        if (seen.add(g)) {
+          val h = md5hex(g)
+          val dim = (java.lang.Long.parseLong(h.substring(0, 8), 16) % dims).toInt
+          val sign = if ((Character.digit(h.charAt(8), 16) & 1) == 0) 1L else -1L
+          v(dim) += sign
+        }
+        i += 1
+      }
+    }
+    v
+  }
+
+  def embedArray(text: UTF8String, dims: Int, n: Int): ArrayData =
+    new GenericArrayData(embed(text.toString, dims, n))
+
+  /** ±1 hyperplane matrix H(p)(d), deterministic: parity of the first
+    * md5-hex char of "h:p:d". Cached per (planes, dims) — computed once per
+    * executor, never shipped with the plan.
+    */
+  private val hpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Byte]]]()
+
+  def hyperplanes(planes: Int, dims: Int): Array[Array[Byte]] =
+    hpCache.computeIfAbsent((planes, dims), { key =>
+      val (p, d) = key
+      Array.tabulate(p) { pi =>
+        val row = new Array[Byte](d)
+        var di = 0
+        while (di < d) {
+          row(di) =
+            if ((Character.digit(md5hex(s"h:$pi:$di").charAt(0), 16) & 1) == 0) 1 else -1
+          di += 1
+        }
+        row
+      }
+    })
+
+  /** bands LSH keys: key(b) packs bitsPerBand sign bits, bit i of band b =
+    * [dot(v, H(b*bitsPerBand+i)) > 0]. Integer dot → the sign is exact in
+    * any engine (no FP tie ambiguity).
+    */
+  def bandKeys(vec: ArrayData, bands: Int, bitsPerBand: Int): ArrayData = {
+    val dims = vec.numElements()
+    val v = vec.toLongArray()
+    val h = hyperplanes(bands * bitsPerBand, dims)
+    val keys = new Array[Long](bands)
+    var p = 0
+    while (p < bands * bitsPerBand) {
+      val row = h(p)
+      var dot = 0L
+      var d = 0
+      while (d < dims) {
+        val x = v(d)
+        if (x != 0L) dot += x * row(d)
+        d += 1
+      }
+      if (dot > 0L) keys(p / bitsPerBand) |= 1L << (p % bitsPerBand)
+      p += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  /** Exact integer dot product of two long arrays of equal length. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    var s = 0L
+    var i = 0
+    val m = math.min(x.length, y.length)
+    while (i < m) { s += x(i) * y(i); i += 1 }
+    s
+  }
+}
+
+/** hash_embed(text, dims, n): deterministic hashed-n-gram signed count
+  * vector (array<long>).
+  */
+case class HashEmbed(child: Expression, dims: Int, n: Int)
+    extends UnaryExpression {
+  require(dims > 0 && n > 0, "hash_embed: dims and n must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.embedArray(input.asInstanceOf[UTF8String], dims, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.embedArray($c, $dims, $n);")
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+}
+
+/** lsh_band_keys(vec, bands, bitsPerBand): array<long> of band keys over
+  * deterministic ±1 hyperplanes.
+  */
+case class LshBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
+    extends UnaryExpression {
+  require(bands > 0 && bitsPerBand > 0 && bitsPerBand < 63, "lsh_band_keys: bad banding")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.bandKeys(input.asInstanceOf[ArrayData], bands, bitsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.bandKeys($c, $bands, $bitsPerBand);")
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
+}
+
+/** dot_i64(a, b): exact integer dot product of two array<long> columns —
+  * the codegen'd verify kernel (a higher-order-function fold is ~30µs/pair
+  * interpreted; this is ~0.1µs).
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_i64"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashingKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashingKernels.dotLong($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Function registration: the SparkSessionExtensions path (set
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) plus an
+  * idempotent imperative fallback for sessions created without it.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("hash_embed"),
+      new ExpressionInfo(classOf[HashEmbed].getName, "hash_embed"),
+      (args: Seq[Expression]) =>
+        HashEmbed(args.head, intLit(args(1), "dims"), intLit(args(2), "n"))),
+    (new FunctionIdentifier("lsh_band_keys"),
+      new ExpressionInfo(classOf[LshBandKeys].getName, "lsh_band_keys"),
+      (args: Seq[Expression]) =>
+        LshBandKeys(args.head, intLit(args(1), "bands"), intLit(args(2), "bitsPerBand"))),
+    (new FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_i64"),
+      (args: Seq[Expression]) => DotLong(args.head, args(1)))
+  )
+
+  /** Imperative registration for an existing session (idempotent). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    registry.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}

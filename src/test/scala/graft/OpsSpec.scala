@@ -72,6 +72,31 @@ class OpsSpec extends SparkSpec {
       "ivf vs brute")
   }
 
+  test("embedding near-dup: LSH-blocked pairs == exact all-pairs (recall 1.0)") {
+    // exact reference: all-pairs cosine over the SAME hashed embeddings
+    val hashed = Dedup.hashedEmbeddings(docs).cache()
+    val exact = Dedup.embeddingCosinePairsExact(hashed, threshold = 0.8,
+      idCol = "id", vecCol = "v").select("id1", "id2")
+    val blocked = Dedup.embeddingNearDupPairs(docs).select("id1", "id2")
+    assertSameRows(blocked, exact, "lsh-blocked vs exact all-pairs")
+    assert(blocked.count() > 0, "fixture must contain embedding near-dups")
+    hashed.unpersist()
+    // determinism: same input → identical pairs and cosines across runs
+    assertSameRows(Dedup.embeddingNearDupPairs(docs), Dedup.embeddingNearDupPairs(docs))
+  }
+
+  test("hash_embed/lsh_band_keys/dot_i64 kernels: deterministic + exact") {
+    import graft.functions.HashingKernels
+    val v1 = HashingKernels.embed("the quick brown fox jumps over the lazy dog", 64, 3)
+    val v2 = HashingKernels.embed("the quick brown fox jumps over the lazy dog", 64, 3)
+    assert(v1.toSeq == v2.toSeq && v1.map(math.abs).sum > 0)
+    // short doc (< n tokens) → zero vector, no crash
+    assert(HashingKernels.embed("one two", 64, 3).forall(_ == 0L))
+    // md5 derivation matches the DuckDB oracle's hex-parse convention
+    assert(HashingKernels.md5hex("abc") == "900150983cd24fb0d6963f7d28e17f72")
+    assert(java.lang.Long.parseLong(HashingKernels.md5hex("abc").substring(0, 8), 16) == 2416005272L)
+  }
+
   test("text analysis: ranges and determinism") {
     val a = TextAnalysis.analyze(docs).cache()
     val q = a.agg(min("quality"), max("quality")).first()

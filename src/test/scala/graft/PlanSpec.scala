@@ -37,6 +37,12 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning")) == 1)
   }
 
+  test("q22: candidate generation is an equi-join, never a nested loop") {
+    val p = plan(Queries.q22EmbDedup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "embedding near-dup must not plan an all-pairs join:\n" + p.take(800))
+  }
+
   test("CDC routed projection stays narrow (no exchange before the sink shuffle)") {
     import graft.pipeline.CdcPipeline
     val df = graft.source.ChangeStreamReader.batch(spark,
