@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StructField, StructType}
+
+/** Vector kernels for the IVF index: nearest-centroid assignment as a
+  * native Catalyst expression — a narrow, codegen'd map whose centroid
+  * matrix rides the plan as a reference object (never a literal expression
+  * tree, which stops codegen'ing past ~100 centroids — VERDICT.md
+  * "What's wrong" #3).
+  */
+object VectorKernels {
+
+  /** Normalize `vec` to the unit sphere (cosine space) and return the
+    * nearest centroid id + L2 distance to it. `isFloat` selects the array
+    * element accessor (embedding columns are array<float>, derived vectors
+    * array<double>).
+    */
+  def assign(vec: ArrayData, isFloat: Boolean, cents: Array[Array[Double]]): InternalRow = {
+    val n = vec.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      v(i) = x
+      s += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    if (nrm > 0) { i = 0; while (i < n) { v(i) /= nrm; i += 1 } }
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0
+      var j = 0
+      val m = math.min(n, ct.length)
+      while (j < m) { val t = v(j) - ct(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](best, math.sqrt(bestD)))
+  }
+}
+
+/** nearest_centroid(vec): struct(cid int, dist double) in normalized space. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
+    isFloat: Boolean) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def prettyName: String = "nearest_centroid"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.assign(input.asInstanceOf[ArrayData], isFloat, centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.assign($c, $isFloat, $cents);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Column wrappers for expressions that carry non-literal state (a centroid
+  * matrix) and therefore can't go through the SQL function registry.
+  */
+object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.GraftSqlBridge
+
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]],
+      isFloat: Boolean): Column =
+    GraftSqlBridge.column(
+      NearestCentroid(GraftSqlBridge.expression(vec), centroids, isFloat))
+}

@@ -52,49 +52,194 @@ object Similarity {
       .select(col(idCol), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Deterministic centroid pick: the nlist lowest-id vectors. (A k-means
-    * refinement would drop in here; determinism matters more than centroid
-    * quality for correctness tests.)
-    */
-  def centroids(embs: DataFrame, nlist: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[(Long, Array[Double])] =
-    embs.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol), asDouble(col(vecCol)))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  // ------------------------------- IVF -------------------------------
+  //
+  // Index: vectors are normalized to the unit sphere (cosine ⇔ L2 there),
+  // k-means-clustered, and stored with (cid, cdist) — optionally persisted
+  // as a parquet table physically partitioned by cid, so a probe is a
+  // partition-pruned read at rest.
+  //
+  // Search is EXACT, not best-effort: probe the nProbe buckets nearest the
+  // query, take the kth-best cosine δ found there, then additionally scan
+  // every bucket whose triangle-inequality lower bound ‖q−c_j‖ − radius_j
+  // could still beat δ. Pruning power is data-dependent (clustered corpora
+  // prune almost everything, uniform noise prunes little) but recall is
+  // 1.0 by construction — IVF never silently trades correctness here.
 
-  /** IVF assignment: each vector's nearest centroid id (broadcast argmax —
-    * centroids are a local literal array, so this is a narrow map).
-    */
-  def ivfAssign(embs: DataFrame, cents: Array[(Long, Array[Double])],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(col(vecCol))
-    // argmin over squared L2 distance, built as a fold over literal centroids
-    val scored = cents.map { case (cid, c) =>
-      val cl = array(c.map(lit): _*)
-      struct(
-        aggregate(zip_with(v, cl, (x, y) => (x - y) * (x - y)), lit(0.0), (a, d) => a + d)
-          .as("dist"),
-        lit(cid).as("cid"))
-    }
-    embs.withColumn("centroid", array_min(array(scored: _*)).getField("cid"))
+  /** IVF model: normalized-space centroids + per-bucket max distance. */
+  final case class IvfModel(centroids: Array[Array[Double]], radii: Array[Double]) {
+    def nlist: Int = centroids.length
   }
 
-  /** IVF top-k: probe the nProbe centroids nearest to the query, exact
-    * cosine rerank inside those buckets only.
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n > 0) v.map(_ / n) else v
+  }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val m = math.min(a.length, b.length)
+    while (i < m) { val t = a(i) - b(i); s += t * t; i += 1 }
+    math.sqrt(s)
+  }
+
+  private def isFloatVec(embs: DataFrame, vecCol: String): Boolean =
+    embs.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+
+  /** Deterministic sampled k-means(++) in normalized space: sample by
+    * hash-order (TakeOrdered — no full sort), seed with k-means++ from a
+    * fixed-seed RNG, run Lloyd iterations on the driver. Sample size and
+    * iterations bound driver work regardless of corpus size.
     */
-  def ivfTopK(embs: DataFrame, query: Array[Float], k: Int, nlist: Int = 16,
+  def kmeansCentroids(embs: DataFrame, nlist: Int, sampleSize: Int = 10000,
+      iters: Int = 10, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = embs
+      .orderBy(xxhash64(col(idCol).cast("string"), lit(seed)), col(idCol))
+      .limit(sampleSize)
+      .select(asDouble(col(vecCol)))
+      .collect()
+      .map(r => normalize(r.getSeq[Double](0).toArray))
+    require(sample.nonEmpty, "k-means needs a non-empty sample")
+    val k = math.min(nlist, sample.length)
+    val rng = new scala.util.Random(seed)
+    // k-means++ seeding
+    val cents = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    cents += sample(rng.nextInt(sample.length))
+    while (cents.length < k) {
+      val d2 = sample.map(p => cents.map(c => l2(p, c)).min).map(d => d * d)
+      val total = d2.sum
+      if (total <= 0) cents += sample(rng.nextInt(sample.length))
+      else {
+        var r = rng.nextDouble() * total
+        var i = 0
+        while (i < d2.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        cents += sample(i)
+      }
+    }
+    // Lloyd
+    val c = cents.map(_.clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](sample(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < k) { val d = l2(p, c(j)); if (d < bd) { bd = d; best = j }; j += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      for (j <- 0 until k if counts(j) > 0) {
+        var i = 0
+        while (i < c(j).length) { c(j)(i) = sums(j)(i) / counts(j); i += 1 }
+      }
+    }
+    c
+  }
+
+  /** Build the in-memory IVF index: (original columns + cid + cdist) and
+    * the model. Assignment is the narrow codegen'd `nearest_centroid`
+    * expression; the radius pass is one small aggregate.
+    */
+  def buildIvfIndex(embs: DataFrame, nlist: Int = 64, sampleSize: Int = 10000,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, IvfModel) = {
+    val cents = kmeansCentroids(embs, nlist, sampleSize, seed = seed,
+      idCol = idCol, vecCol = vecCol)
+    val assigned = embs
+      .withColumn("_asn", graft.functions.VectorFunctions.nearestCentroid(
+        col(vecCol), cents, isFloatVec(embs, vecCol)))
+      .withColumn("cid", col("_asn.cid"))
+      .withColumn("cdist", col("_asn.dist"))
+      .drop("_asn")
+    val radii = new Array[Double](cents.length)
+    assigned.groupBy("cid").agg(max("cdist")).collect()
+      .foreach(r => radii(r.getInt(0)) = r.getDouble(1))
+    (assigned, IvfModel(cents, radii))
+  }
+
+  /** Persist the index as a cid-partitioned parquet table + JSON model
+    * sidecar: probes become partition-pruned selective reads at rest.
+    */
+  def writeIvfIndex(embs: DataFrame, dir: String, nlist: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel = {
+    val (assigned, model) = buildIvfIndex(embs, nlist, idCol = idCol, vecCol = vecCol)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/index")
+    val json = model.centroids.indices.map { j =>
+      s"""{"cid":$j,"radius":${model.radii(j)},"centroid":[${model.centroids(j).mkString(",")}]}"""
+    }.mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "model.json"),
+      json.getBytes("UTF-8"))
+    model
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, IvfModel) = {
+    val lines = scala.io.Source.fromFile(s"$dir/model.json").getLines().toSeq
+    val parsed = lines.map { l =>
+      val cid = """"cid":(\d+)""".r.findFirstMatchIn(l).get.group(1).toInt
+      val radius = """"radius":([-0-9.eE]+)""".r.findFirstMatchIn(l).get.group(1).toDouble
+      val cent = """"centroid":\[([^\]]*)\]""".r.findFirstMatchIn(l).get.group(1)
+        .split(",").map(_.toDouble)
+      (cid, radius, cent)
+    }.sortBy(_._1)
+    val model = IvfModel(parsed.map(_._3).toArray, parsed.map(_._2).toArray)
+    (spark.read.parquet(s"$dir/index"), model)
+  }
+
+  /** The probe plan: (probed buckets, expansion buckets). Probed = nProbe
+    * nearest centroids; expansion = buckets whose lower bound could still
+    * beat the kth-best cosine found in the probed set (empty on
+    * well-clustered data — the exactness escape hatch everywhere else).
+    */
+  private[graft] def probeAndExpand(index: DataFrame, model: IvfModel,
+      query: Array[Float], k: Int, nProbe: Int, excludeId: Option[Long],
+      idCol: String, vecCol: String): (Seq[Int], Seq[Int]) = {
+    val qn = normalize(query.map(_.toDouble))
+    val cd = model.centroids.map(c => l2(qn, c))
+    val probed = cd.zipWithIndex.sortBy { case (d, j) => (d, j) }
+      .take(math.min(nProbe, model.nlist)).map(_._2).toSeq
+    // kth best cosine in the probed buckets, unrounded
+    val scored = cosineToQuery(
+      index.where(col("cid").isin(probed: _*)), query, idCol, vecCol)
+    val base = excludeId.fold(scored)(i => scored.where(col(idCol) =!= i))
+    val top = base.orderBy(col("cosine").desc, col(idCol)).limit(k).collect()
+    val expanded =
+      if (top.length < k) model.centroids.indices.filterNot(probed.contains)
+      else {
+        val kthCos = top.last.getDouble(1)
+        // cosine δ ⇔ normalized-space distance √(2−2δ); ε guards FP noise
+        val dRad = math.sqrt(math.max(0.0, 2.0 - 2.0 * kthCos)) + 1e-9
+        model.centroids.indices
+          .filterNot(probed.contains)
+          .filter(j => cd(j) - model.radii(j) <= dRad)
+      }
+    (probed, expanded)
+  }
+
+  /** Exact IVF top-k over a prebuilt index (see class comment). The final
+    * rerank runs the same expression pipeline as `bruteForceTopK`, so the
+    * output is bit-identical to the brute-force oracle.
+    */
+  def ivfSearch(index: DataFrame, model: IvfModel, query: Array[Float], k: Int,
+      nProbe: Int = 4, excludeId: Option[Long] = None, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (probed, expanded) = probeAndExpand(index, model, query, k, nProbe,
+      excludeId, idCol, vecCol)
+    val buckets = probed ++ expanded
+    bruteForceTopK(index.where(col("cid").isin(buckets: _*)), query, k,
+      excludeId, idCol, vecCol)
+  }
+
+  /** Build + search in one call (q15). */
+  def ivfTopK(embs: DataFrame, query: Array[Float], k: Int, nlist: Int = 64,
       nProbe: Int = 4, excludeId: Option[Long] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids(embs, nlist, idCol, vecCol)
-    val qd = query.map(_.toDouble)
-    val probed = cents
-      .map { case (cid, c) =>
-        (cid, c.zip(qd).map { case (x, y) => (x - y) * (x - y) }.sum)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1).toSet
-    val assigned = ivfAssign(embs, cents, idCol, vecCol)
-      .where(col("centroid").isin(probed.toSeq: _*))
-    bruteForceTopK(assigned, query, k, excludeId, idCol, vecCol)
+    val (index, model) = buildIvfIndex(embs, nlist, idCol = idCol, vecCol = vecCol)
+    val cached = index.persist()
+    ivfSearch(cached, model, query, k, nProbe, excludeId, idCol, vecCol)
   }
 }

@@ -154,9 +154,13 @@ object Queries {
     graft.ops.Similarity.bruteForceTopK(table(spark, sfDir, "embeddings"),
       queryVec(spark, sfDir, 0L), k = 10, excludeId = Some(0L))
 
+  /** q15: IVF at production-shaped settings (nlist=64, nProbe=4): k-means
+    * centroids + triangle-inequality expansion keep the result exactly
+    * equal to brute force (the oracle) on any data distribution.
+    */
   def q15AnnIvf(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Similarity.ivfTopK(table(spark, sfDir, "embeddings"),
-      queryVec(spark, sfDir, 0L), k = 10, nlist = 16, nProbe = 8, excludeId = Some(0L))
+      queryVec(spark, sfDir, 0L), k = 10, nlist = 64, nProbe = 4, excludeId = Some(0L))
 
   def q16LangId(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
