@@ -30,13 +30,14 @@ object CdcPipeline {
     * buckets, not by cores. Calling it twice with the same batchId is a
     * no-op the second time (idempotent replay).
     */
-  def processBatch(sink: ExactlyOnceSink, batch: DataFrame, batchId: Long): Unit = {
+  def processBatch(sink: ExactlyOnceSink, batch: DataFrame, batchId: Long,
+      tables: Seq[String] = Nil): Unit = {
     if (sink.isCommitted(batchId)) return
     // Persist the routed micro-batch (size bounded by maxFilesPerTrigger):
     // the range-partitioner's sampling pass, the real shuffle, and the
     // lineage aggregation then all read the cache — the parquet scan +
     // enrichment run exactly once per batch.
-    val keyed = routed(batch).persist()
+    val keyed = tableFiltered(routed(batch), tables).persist()
     try {
       sink.writeBatch(batchId, keyed)
       // per-batch source-latency alert (reference CDCMonitor's 10 s warn);
@@ -45,7 +46,7 @@ object CdcPipeline {
         .getOrElse(graft.metrics.LatencyMonitor.DefaultAlertMs)
       if (alertMs > 0) graft.metrics.LatencyMonitor.check(batchId, keyed, alertMs)
       val lineage = keyed
-        .groupBy(concat_ws("/", col("route"), col("p_date")).as("part"))
+        .groupBy(concat_ws("/", col("route"), col("src_table"), col("p_date")).as("part"))
         .agg(count(lit(1)).as("rows"),
           coalesce(min(col("source.lsn")), lit(-1L)).as("minLsn"),
           coalesce(max(col("source.lsn")), lit(-1L)).as("maxLsn"))
@@ -55,25 +56,53 @@ object CdcPipeline {
     } finally { keyed.unpersist(); () }
   }
 
-  /** The single-pass route + enrich + time-bucket projection. */
+  /** The single-pass route + enrich + time-bucket projection. The final
+    * epoch-0 fallback pins fully-null envelopes (unparseable raw JSON) to a
+    * deterministic partition instead of a null bucket.
+    */
   def routed(batch: DataFrame): DataFrame =
     Router.enrich(Router.withRoute(batch))
+      .withColumn("src_table", coalesce(col("source.table"), lit("unknown")))
       .withColumn("evt_ts",
-        coalesce(col("after.ts"), col("before.ts"), timestamp_millis(col("ts_ms"))))
+        coalesce(col("after.ts"), col("before.ts"),
+          timestamp_millis(coalesce(col("ts_ms"), lit(0L)))))
       .withColumn("p_date", date_format(col("evt_ts"), "yyyy-MM-dd"))
       .withColumn("p_hour", date_format(col("evt_ts"), "HH"))
 
-  /** Start the streaming query over an already-spooled stream directory. */
+  /** Multi-table fan-out (≙ reference TableFilter × N configured tables,
+    * reference main.scala:378-392, filters/TableFilter.scala:13-31 — which
+    * runs N filtered streams, O(N·events)). Here `source.table` is a sink
+    * partition column, so ALL tables route in the same single pass
+    * (O(events)) and each table's committed view is a partition-pruned
+    * read. With a non-empty allowlist, data-route events of unconfigured
+    * tables are dropped (the reference's implicit behavior: no filter
+    * consumes them); error/schema routes are kept for all tables.
+    */
+  def tableFiltered(routedBatch: DataFrame, tables: Seq[String]): DataFrame =
+    if (tables.isEmpty) routedBatch
+    else routedBatch.where(
+      col("route") =!= Router.RouteData || col("src_table").isin(tables: _*))
+
+  /** Start the streaming query over an already-spooled stream directory.
+    * `format` selects the ingest edge: "parquet" (typed envelope files) or
+    * "json" (raw Debezium JSON lines → from_json at the edge).
+    */
   def start(spark: SparkSession, streamDir: String, outDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 16,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      format: String = "parquet", tables: Seq[String] = Nil): StreamingQuery = {
     val sink = new ExactlyOnceSink(spark, outDir)
-    ChangeStreamReader.stream(spark, streamDir, maxFilesPerTrigger)
+    val src = format match {
+      case "parquet" => ChangeStreamReader.stream(spark, streamDir, maxFilesPerTrigger)
+      case "json" => ChangeStreamReader.jsonStream(spark, streamDir, maxFilesPerTrigger)
+      case other => throw new IllegalArgumentException(s"unknown ingest format $other")
+    }
+    src
       .writeStream
       .queryName("graft-cdc")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, id: Long) => processBatch(sink, df, id) }
+      .foreachBatch { (df: DataFrame, id: Long) => processBatch(sink, df, id, tables) }
       .start()
   }
 
@@ -98,10 +127,11 @@ object CdcPipeline {
     * (the per-row invariant: per-turn text equality under stable
     * (turn_idx, ts) ordering).
     */
-  def materialize(spark: SparkSession, outDir: String): Dataset[Turn] = {
+  def materialize(spark: SparkSession, outDir: String,
+      table: Option[String] = None): Dataset[Turn] = {
     import spark.implicits._
     val sink = new ExactlyOnceSink(spark, outDir)
-    val events = sink.readCommitted("events")
+    val events = sink.readCommitted("events", table)
       .getOrElse(throw new IllegalStateException(s"no committed batches in $outDir"))
     val keyed = events.select(
       coalesce($"after.conv_id", $"before.conv_id").as("k_conv"),

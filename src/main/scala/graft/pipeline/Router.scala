@@ -87,15 +87,22 @@ object Router {
       .withColumn("pipeline_version", lit(PipelineVersion))
       .withColumn("data_quality_score", qualityScore)
 
-  /** Error-route wrapper (reference handlers/ErrorHandler.scala:12-26). */
-  def errorRecord(df: DataFrame): DataFrame =
+  /** Error-route wrapper (reference handlers/ErrorHandler.scala:12-26).
+    * For the raw-JSON ingest edge the original string (`_raw`) is preserved
+    * verbatim, like the reference's failed-deserialization handling; typed
+    * envelopes are re-serialized.
+    */
+  def errorRecord(df: DataFrame): DataFrame = {
+    val original =
+      if (df.columns.contains("_raw")) col("_raw")
+      else to_json(struct(df.columns.filter(_ != "route").map(col): _*))
     df.select(
       col("ts_ms").as("event_ts_ms"),
       lit("validation_error").as("error_type"),
-      substring(to_json(struct(df.columns.filter(_ != "route").map(col): _*)), 1, 1000)
-        .as("original_record"),
+      substring(original, 1, 1000).as("original_record"),
       col("source.lsn").as("lsn")
     )
+  }
 
   /** Schema-change wrapper (reference handlers/SchemaChangeHandler.scala:12-26). */
   def schemaChangeRecord(df: DataFrame): DataFrame =

@@ -76,11 +76,11 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String) extends Seriali
     // salt × dates (measured: 2,900 files/batch on a 70-day batch).
     val parts = math.max(2, 2 * spark.sparkContext.defaultParallelism)
     df.withColumn("w_salt", pmod(xxhash64(col("ts_ms")), lit(parts)))
-      .repartitionByRange(parts, col("route"), col("p_date"), col("w_salt"))
+      .repartitionByRange(parts, col("route"), col("src_table"), col("p_date"), col("w_salt"))
       .drop("w_salt")
-      .sortWithinPartitions("route", "p_date")
+      .sortWithinPartitions("route", "src_table", "p_date")
       .write.mode("overwrite")
-      .partitionBy("route", "p_date")
+      .partitionBy("route", "src_table", "p_date")
       .parquet(batchDir(batchId))
   }
 
@@ -90,7 +90,7 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String) extends Seriali
   def commitWithLineage(batchId: Long): Seq[(String, Long, Long, Long)] = {
     val written = spark.read.option("basePath", batchDir(batchId)).parquet(batchDir(batchId))
     val lineage = written
-      .groupBy(concat_ws("/", col("route"), col("p_date")).as("part"))
+      .groupBy(concat_ws("/", col("route"), col("src_table"), col("p_date")).as("part"))
       .agg(count(lit(1)).as("rows"),
         coalesce(min(col("source.lsn")), lit(-1L)).as("minLsn"),
         coalesce(max(col("source.lsn")), lit(-1L)).as("maxLsn"))
@@ -123,18 +123,32 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String) extends Seriali
     Map("events" -> "data", "errors" -> "error", "schema_changes" -> "schema")
 
   /** Committed view of one logical output (route partition pruning makes
-    * this a selective directory read).
+    * this a selective directory read). `table` additionally prunes to one
+    * `source.table` partition — the per-table sink view of the reference's
+    * TableFilter fan-out.
     */
-  def readCommitted(section: String): Option[DataFrame] = {
+  def readCommitted(section: String, table: Option[String] = None): Option[DataFrame] = {
     val route = sectionRoute.getOrElse(section,
       throw new IllegalArgumentException(s"unknown section $section"))
     val ids = committedBatchIds
     val dirs = ids.map(batchDir).filter(d => fs.exists(new Path(d)))
     if (dirs.isEmpty) None
-    else Some(
-      spark.read.option("basePath", s"$outDir/events").parquet(dirs: _*)
-        .where(col("route") === route))
+    else {
+      val df = spark.read.option("basePath", s"$outDir/events").parquet(dirs: _*)
+        .where(col("route") === route)
+      Some(table.fold(df)(t => df.where(col("src_table") === t)))
+    }
   }
+
+  /** One table's committed change log (partition-pruned). */
+  def readTable(table: String): Option[DataFrame] =
+    readCommitted("events", Some(table))
+
+  /** Distinct tables present in the committed data route. */
+  def tables(): Seq[String] =
+    readCommitted("events").map(
+      _.select("src_table").distinct().collect().map(_.getString(0)).sorted.toSeq)
+      .getOrElse(Seq.empty)
 
   /** The lineage manifest as a DataFrame (metrics / audits). */
   def readManifest(): Option[DataFrame] = {

@@ -98,4 +98,47 @@ object ChangeStreamReader {
   /** Batch view of everything currently in the stream dir (oracle input). */
   def batch(spark: SparkSession, streamDir: String): DataFrame =
     spark.read.schema(envelopeSchema).parquet(streamDir)
+
+  // ---------------- raw Debezium-JSON ingest edge ----------------
+  //
+  // The reference's live path consumes Debezium envelopes as JSON STRINGS
+  // (reference src/main/scala/com/example/cdc/main.scala:140,
+  // config/DatabaseSourceFactory.scala:68 JsonDebeziumDeserializationSchema).
+  // This edge parses each line ONCE with from_json into the same typed
+  // envelope the parquet path uses; a malformed line (unparseable JSON, or
+  // an envelope failing Router.isValid) keeps its raw string in `_raw` and
+  // flows to the error route, mirroring the reference's TableFilter
+  // behavior (filters/TableFilter.scala:15-31).
+
+  /** Parse a raw JSON-line DataFrame (column `value`) into the typed
+    * envelope + the original string. One narrow from_json per line —
+    * downstream never re-parses.
+    */
+  def parseRawJson(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), envelopeSchema).as("e"), col("value").as("_raw"))
+      .select(col("e.*"), col("_raw"))
+
+  /** Streaming read of a JSONL change-log directory. */
+  def jsonStream(spark: SparkSession, streamDir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    parseRawJson(
+      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger).text(streamDir))
+
+  /** Batch view of a JSONL change-log directory (oracle input). */
+  def jsonBatch(spark: SparkSession, streamDir: String): DataFrame =
+    parseRawJson(spark.read.text(streamDir))
+
+  /** Write one JSONL log segment into a watched dir (test/simulation aid:
+    * the JSON twin of writeChangeFile).
+    */
+  def writeJsonlSegment(df: DataFrame, streamDir: String, name: String): Unit = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$streamDir/.tmp-$name"
+    df.toJSON.coalesce(1).write.mode("overwrite").text(tmp)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(streamDir))
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$streamDir/$name.jsonl"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
 }

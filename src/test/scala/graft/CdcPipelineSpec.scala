@@ -49,6 +49,45 @@ class CdcPipelineSpec extends SparkSpec {
     assert(nSch == all.where(Router.isValid && Router.isSchemaChange).count())
   }
 
+  test("raw Debezium-JSON feed replays to the same state; garbage lines hit the DLQ") {
+    import spark.implicits._
+    val streamDir = tmpDir("jstream")
+    val outDir = tmpDir("jout")
+    val ckDir = tmpDir("jck")
+    val small = cfg.copy(numConvs = 60)
+    // spool the snapshot + each change phase as JSONL segments (the raw
+    // string feed the reference consumes), plus one unparseable line
+    val ev = TranscriptGen.events(spark, small).cache()
+    ChangeStreamReader.writeJsonlSegment(
+      ev.filter(_.phase == -1).map(_.event).toDF(), streamDir, "00000-snapshot")
+    (0 until small.changeFiles).foreach { p =>
+      ChangeStreamReader.writeJsonlSegment(
+        ev.filter(_.phase == p).map(_.event).toDF(), streamDir, f"10000-chg-$p%04d")
+    }
+    // two garbage lines: one unparseable, one parseable-but-invalid op
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$streamDir/20000-garbage.jsonl"), true)
+    out.write("this is not json {\n{\"op\":\"zz\",\"ts_ms\":1}\n".getBytes("UTF-8")); out.close()
+
+    val q = CdcPipeline.start(spark, streamDir, outDir, ckDir,
+      maxFilesPerTrigger = 2, format = "json")
+    q.awaitTermination()
+
+    assertSameRows(
+      CdcPipeline.materialize(spark, outDir).toDF(),
+      TranscriptGen.finalState(spark, small).toDF(),
+      "json-fed materialized state")
+
+    val sink = new ExactlyOnceSink(spark, outDir)
+    val errs = sink.readCommitted("errors").get
+    val expectedMalformed = ev.map(_.event).toDF().where(!Router.isValid).count()
+    assert(errs.count() == expectedMalformed + 2, "malformed envelopes + 2 garbage lines")
+    // the DLQ wrapper preserves the raw line verbatim for unparseable input
+    val dlq = Router.errorRecord(errs.drop("route"))
+    assert(dlq.where(col("original_record") === "this is not json {").count() == 1)
+    ev.unpersist()
+  }
+
   test("resume-after-failure: stop, deliver more, restart — output identical") {
     val tableDir = tmpDir("table2")
     val streamDir = tmpDir("stream2")
@@ -83,6 +122,41 @@ class CdcPipelineSpec extends SparkSpec {
       coalesce(col("after.turn_idx"), col("before.turn_idx")),
       col("source.lsn")).distinct().count()
     assert(ev.count() == uniq)
+  }
+
+  test("multi-table routing: one pass fans out to per-table partitions") {
+    import spark.implicits._
+    val outDir = tmpDir("mt")
+    val sink = new ExactlyOnceSink(spark, outDir)
+    val ev = TranscriptGen.events(spark, cfg.copy(numConvs = 30)).map(_.event).toDF()
+    // a second source table, interleaved event-by-event (the reference runs
+    // one TableFilter stream per table; here it's one partition column)
+    val twoTab = ev.withColumn("source",
+      when(pmod(xxhash64(col("ts_ms")), lit(2)) === 0,
+        col("source").withField("table", lit("conversations_b")))
+        .otherwise(col("source")))
+    CdcPipeline.processBatch(sink, twoTab, 0L)
+    val want = twoTab.where(Router.isValid && !Router.isSchemaChange)
+    val a = sink.readTable("conversations").get.count()
+    val b = sink.readTable("conversations_b").get.count()
+    assert(a == want.where(col("source.table") === "conversations").count())
+    assert(b == want.where(col("source.table") === "conversations_b").count())
+    assert(b > 0, "second table must receive events")
+    assert(sink.tables() == Seq("conversations", "conversations_b"))
+    assert(sink.readCommitted("events").get.count() == a + b)
+    // the per-table read prunes on the src_table partition column
+    val plan = sink.readTable("conversations_b").get.queryExecution.executedPlan.toString()
+    assert(plan.contains("src_table"), plan.take(400))
+
+    // allowlist: data events of unconfigured tables are dropped; error
+    // route keeps everything (DLQ must never silently lose records)
+    val outDir2 = tmpDir("mt2")
+    val sink2 = new ExactlyOnceSink(spark, outDir2)
+    CdcPipeline.processBatch(sink2, twoTab, 0L, tables = Seq("conversations"))
+    assert(sink2.tables() == Seq("conversations"))
+    assert(sink2.readCommitted("events").get.count() == a)
+    assert(sink2.readCommitted("errors").get.count() ==
+      twoTab.where(!Router.isValid).count())
   }
 
   test("idempotent sink: replayed batch is a no-op; partial write is healed") {
