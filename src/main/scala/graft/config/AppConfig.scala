@@ -17,14 +17,27 @@ final case class AppConfig(
     workDir: String = "",
     sessionGap: String = "30 minutes",
     joinHorizon: String = "10 minutes",
-    watermark: String = "30 seconds"
+    watermark: String = "30 seconds",
+    exportFormat: String = "parquet",
+    exportCompression: String = "none",
+    latencyAlertMs: Long = 10000L,
+    tables: Seq[String] = Nil
 ) {
-  /** ≙ reference AppConfig.validateConfiguration (AppConfig.scala:259-273). */
+  /** ≙ reference AppConfig.validateConfiguration (AppConfig.scala:259-273)
+    * + the format/compression whitelist of
+    * validation/EnvironmentValidator.scala:110-119.
+    */
   def validate(): Either[String, AppConfig] = {
     if (!AppConfig.Envs.contains(env)) Left(s"unknown env '$env' (${AppConfig.Envs.mkString("/")})")
     else if (parallelism < 1) Left("parallelism must be >= 1")
     else if (checkpointIntervalSec < 1) Left("checkpoint interval must be >= 1s")
     else if (maxFilesPerTrigger < 1) Left("maxFilesPerTrigger must be >= 1")
+    else if (!graft.sink.Export.Formats.contains(exportFormat))
+      Left(s"unsupported output format '$exportFormat' " +
+        s"(one of ${graft.sink.Export.Formats.mkString("/")})")
+    else if (!graft.sink.Export.Compressions.contains(exportCompression))
+      Left(s"unsupported compression '$exportCompression' " +
+        s"(one of ${graft.sink.Export.Compressions.mkString("/")})")
     else Right(this)
   }
 }
@@ -48,14 +61,40 @@ object AppConfig {
     "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r.replaceAllIn(v, m =>
       scala.util.matching.Regex.quoteReplacement(getenv(m.group(1)).getOrElse("")))
 
-  /** Load with the reference's priority: defaults < env-mode < system
-    * properties < CLI `key=value` args.
+  /** Parse a simple `key=value` properties file (missing file → empty). */
+  def loadPropsFile(path: java.nio.file.Path): Map[String, String] = {
+    if (!java.nio.file.Files.exists(path)) Map.empty
+    else {
+      val p = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(path)
+      try p.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      p.asScala.toMap
+    }
+  }
+
+  /** Load with the reference's priority (AppConfig.scala:36-84): defaults <
+    * env-mode < application.properties < {env}.properties < system
+    * properties < CLI `key=value` args. The file layer is enabled by a
+    * `configDir` key (CLI or sysprop); ${VAR} substitution applies to every
+    * layer.
     */
-  def load(args: Seq[String], props: Map[String, String] = sys.props.toMap): Either[String, AppConfig] = {
+  def load(args: Seq[String], props: Map[String, String] = sys.props.toMap,
+      getenv: String => Option[String] = sys.env.get): Either[String, AppConfig] = {
     val cli = args.filter(_.contains("=")).map { a =>
-      val Array(k, v) = a.split("=", 2); k -> substitute(v)
+      val Array(k, v) = a.split("=", 2); k -> substitute(v, getenv)
     }.toMap
-    def get(k: String): Option[String] = cli.get(k).orElse(props.get(s"graft.$k"))
+    def raw(k: String): Option[String] = cli.get(k).orElse(props.get(s"graft.$k"))
+    val envPre = raw("env").getOrElse("local")
+    val fileLayer: Map[String, String] = raw("configDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val base = loadPropsFile(java.nio.file.Paths.get(dir, "application.properties"))
+        val perEnv = loadPropsFile(java.nio.file.Paths.get(dir, s"$envPre.properties"))
+        (base ++ perEnv).map { case (k, v) => k -> substitute(v, getenv) }
+      case _ => Map.empty
+    }
+    def get(k: String): Option[String] =
+      cli.get(k).orElse(props.get(s"graft.$k")).orElse(fileLayer.get(k))
     val env = get("env").getOrElse("local")
     val (defPar, defCk) = envDefaults.getOrElse(env, (8, 30))
     val cfg = AppConfig(
@@ -67,7 +106,11 @@ object AppConfig {
       workDir = get("workDir").getOrElse(""),
       sessionGap = get("sessionGap").getOrElse("30 minutes"),
       joinHorizon = get("joinHorizon").getOrElse("10 minutes"),
-      watermark = get("watermark").getOrElse("30 seconds")
+      watermark = get("watermark").getOrElse("30 seconds"),
+      exportFormat = get("exportFormat").getOrElse("parquet"),
+      exportCompression = get("exportCompression").getOrElse("none"),
+      latencyAlertMs = get("latencyAlertMs").map(_.toLong).getOrElse(10000L),
+      tables = get("tables").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     )
     cfg.validate()
   }

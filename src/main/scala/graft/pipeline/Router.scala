@@ -41,11 +41,20 @@ object Router {
     )
 
   /** Schema-change predicate (historyRecord present —
-    * CDCEventProcessor.scala:63-68; the reference's extra
-    * `op=='r' && snapshot=='false'` quirk is intentionally not replicated,
-    * SURVEY.md §7.5).
+    * CDCEventProcessor.scala:63-68). The reference additionally treats
+    * `op=='r' && snapshot=='false'` as a schema change (a quirk of its
+    * heuristic — a non-snapshot read event is not a DDL change); that
+    * behavior is off by default and available behind `replicateQuirk` for
+    * bit-for-bit reference parity (SURVEY.md §7.5).
     */
-  def isSchemaChange: Column = col("historyRecord").isNotNull
+  def isSchemaChange: Column = isSchemaChange(replicateQuirk = false)
+
+  def isSchemaChange(replicateQuirk: Boolean): Column = {
+    val base = col("historyRecord").isNotNull
+    if (!replicateQuirk) base
+    else base || (col("op") === "r" &&
+      coalesce(col("source.snapshot"), lit("")) === "false")
+  }
 
   /** Data-quality score: fraction of the `after` payload fields that are
     * non-null / non-empty (CDCEventProcessor.scala:101-117). Pure columns —
@@ -69,11 +78,11 @@ object Router {
   }
 
   /** One-pass routing column. */
-  def withRoute(df: DataFrame): DataFrame =
+  def withRoute(df: DataFrame, replicateQuirk: Boolean = false): DataFrame =
     df.withColumn(
       "route",
       when(!isValid, RouteError)
-        .when(isSchemaChange, RouteSchema)
+        .when(isSchemaChange(replicateQuirk), RouteSchema)
         .otherwise(RouteData)
     )
 

@@ -51,6 +51,17 @@ object Windows {
         col("n_turns"), col("avg_chars"))
   }
 
+  /** In-stream replay dedup: `dropDuplicatesWithinWatermark` on the event
+    * key (SURVEY.md §2.4). The engine's exactly-once is manifest-based (the
+    * sink dedups whole batches); this is the per-EVENT alternative for
+    * at-least-once upstreams that can redeliver individual records inside
+    * the watermark delay — state is evicted once the watermark passes, so
+    * it stays bounded at 10^12 turns.
+    */
+  def dedupWithinWatermark(turns: DataFrame, keys: Seq[String] = Seq("conv_id", "turn_idx"),
+      watermark: String = "30 seconds"): DataFrame =
+    turns.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
   /** Session window: turn-gap sessionization per conversation (gap closes a
     * session). Spark merges overlapping/adjacent per-key sessions in the
     * state store; batch mode computes the identical result.

@@ -201,6 +201,27 @@ class CdcPipelineSpec extends SparkSpec {
     assert(violations == 0L, "per-conversation (turn_idx, ts) must be strictly monotone")
   }
 
+  test("schema-change quirk flag replicates the reference's r+snapshot=false heuristic") {
+    import spark.implicits._
+    import graft.model.{ChangeEvent, SourceInfo, Turn}
+    val turn = Turn("c1", 0, "user", "hi", None, new java.sql.Timestamp(1700000000000L))
+    def src(snap: Option[String]) =
+      Some(SourceInfo("transcripts", "public", "conversations", 1L, snap, Some(1L)))
+    val evs = Seq(
+      ChangeEvent(Some("r"), 1L, None, Some(turn), src(Some("false")), None), // the quirk case
+      ChangeEvent(Some("r"), 1L, None, Some(turn), src(Some("true")), None),
+      ChangeEvent(Some("c"), 1L, None, Some(turn), src(None), Some("""{"ddl":"x"}"""))
+    ).toDF()
+    // default: only historyRecord routes to schema
+    val base = Router.withRoute(evs).groupBy("route").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(base == Map("data" -> 2L, "schema" -> 1L))
+    // quirk on: r+snapshot=false joins the schema route (reference parity)
+    val quirk = Router.withRoute(evs, replicateQuirk = true).groupBy("route").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quirk == Map("data" -> 1L, "schema" -> 2L))
+  }
+
   test("quality score: fraction of non-null/non-empty payload fields") {
     import spark.implicits._
     val events = TranscriptGen.events(spark, cfg.copy(numConvs = 5)).map(_.event).toDF()

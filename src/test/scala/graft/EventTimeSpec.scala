@@ -195,6 +195,21 @@ class EventTimeSpec extends SparkSpec {
       ("unanswered_tool_call", 5), ("tool_roundtrip", 6)))
   }
 
+  test("dropDuplicatesWithinWatermark: in-stream redelivery dedup") {
+    val dir = tmpDir("dedup")
+    val base = Seq(
+      t("c1", 0, "user", None, 0), t("c1", 1, "assistant", None, 10),
+      t("c2", 0, "user", None, 20))
+    writeTurnFile(dir, "b1", base)
+    writeTurnFile(dir, "b2", base.take(2)) // redelivery of two events
+    writeTurnFile(dir, "b3", Seq(t("c3", 0, "user", None, 30)))
+    val got = runToMemory(
+      Windows.dedupWithinWatermark(streamTurns(dir), watermark = "1 hour"),
+      "dd", "append")
+    assert(got.count() == 4, "3 base + 1 new, redeliveries dropped")
+    assert(got.select("conv_id", "turn_idx").distinct().count() == 4)
+  }
+
   // ---------------- stream-stream join ----------------
 
   test("tool-call/response stream-stream join: streaming == batch") {

@@ -75,6 +75,70 @@ class ExportConfigSpec extends SparkSpec {
       == "pre-/root-post")
   }
 
+  test("config: properties-file layer sits under sysprops/CLI, {env} beats application") {
+    val dir = tmpDir("cfg")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "application.properties"),
+      "parallelism=5\nsessionGap=45 minutes\nworkDir=${HOME}/w\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "prod.properties"),
+      "parallelism=7\n")
+    val getenv: String => Option[String] = s => Some("/home/x").filter(_ => s == "HOME")
+    // {env}.properties overrides application.properties
+    val c = AppConfig.load(Seq("env=prod", s"configDir=$dir"), Map.empty, getenv).toOption.get
+    assert(c.parallelism == 7 && c.sessionGap == "45 minutes")
+    // ${VAR} substitution applies inside files
+    assert(c.workDir == "/home/x/w")
+    // CLI beats the file layer
+    val d = AppConfig.load(Seq("env=prod", s"configDir=$dir", "parallelism=3"),
+      Map.empty, getenv).toOption.get
+    assert(d.parallelism == 3)
+    // sysprops beat the file layer
+    val e = AppConfig.load(Seq("env=prod", s"configDir=$dir"),
+      Map("graft.parallelism" -> "9"), getenv).toOption.get
+    assert(e.parallelism == 9)
+  }
+
+  test("config/export: format and compression whitelists reject bad values") {
+    assert(AppConfig.load(Seq("exportCompression=zip")).isLeft)
+    assert(AppConfig.load(Seq("exportFormat=xml")).isLeft)
+    assert(AppConfig.load(Seq("exportFormat=avro", "exportCompression=snappy")).isRight)
+    intercept[IllegalArgumentException](Export.validateFormat("json", "zip"))
+    intercept[IllegalArgumentException](Export.validateFormat("avro", "lz4"))
+    intercept[IllegalArgumentException](
+      Export.jsonl(spark, s"$workDir/out", tmpDir("nope"), compression = "zip"))
+  }
+
+  test("compressed exports round-trip: gzip JSONL, snappy Avro") {
+    val jdest = tmpDir("ejsongz")
+    Export.jsonl(spark, s"$workDir/out", jdest, compression = "gzip")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$jdest/*/*.gz")).nonEmpty)
+    val want = new ExactlyOnceSink(spark, s"$workDir/out").readCommitted("events").get.count()
+    assert(spark.read.json(jdest).count() == want)
+
+    val adest = tmpDir("eavrosnappy")
+    Export.avro(spark, s"$workDir/out", adest, compression = "snappy")
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$adest/part-*.avro"))
+    assert(files.nonEmpty)
+    var n = 0L
+    files.foreach { f =>
+      val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        new java.io.File(f.getPath.toUri.getPath),
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      assert(reader.getMetaString("avro.codec") == "snappy")
+      while (reader.hasNext) { reader.next(); n += 1 }
+      reader.close()
+    }
+    assert(n == want)
+  }
+
+  test("avro export re-run overwrites instead of appending (task-retry-safe naming)") {
+    val dest = tmpDir("eavro2")
+    Export.avro(spark, s"$workDir/out", dest)
+    val count1 = spark.read.format("binaryFile").load(s"$dest/part-*.avro").count()
+    Export.avro(spark, s"$workDir/out", dest) // re-run: same part names, republished
+    assert(spark.read.format("binaryFile").load(s"$dest/part-*.avro").count() == count1)
+  }
+
   test("savepoint: a copied checkpoint resumes identically (no dupes/loss)") {
     val tableDir = tmpDir("svtable")
     val streamDir = tmpDir("svstream")
