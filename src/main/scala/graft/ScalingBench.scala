@@ -1,25 +1,60 @@
 package graft
 
-/** Scaling-efficiency evidence for the north rule: the same CDC replay job
-  * on the same input at two parallelism levels (local[8] vs local[32] — the
-  * sandbox stand-in for N vs 4N executors; BASELINE.md §"Our target").
+/** Scaling-efficiency evidence for the north rule: the same job on the same
+  * input at two parallelism levels (local[N] as the sandbox stand-in for N
+  * executors; BASELINE.md §"Our target").
   *
-  * Each level runs in a child JVM (a SparkContext's thread pool is fixed at
-  * startup; restarting in-process undercounts). Usage:
-  *   sbt "runMain graft.ScalingBench [numConvs] [avgTurns]"
+  * Protocol (hardened per VERDICT.md r1 #6 — a best-of-4 with 0.20–0.36
+  * siblings is not evidence):
+  *   - k repetitions PER LEVEL, fully interleaved (2,8,32, 2,8,32, …) so
+  *     slow machine drift hits every level equally;
+  *   - medians reported with min–max spread;
+  *   - the measured job is the COMPUTE-BOUND engine pass (CDC replay
+  *     through the exactly-once sink PLUS CEP state machines, session +
+  *     tumbling windows, the tool-call join, LWW materialization);
+  *   - a raw-ALU control (seeded LCG burn on the same thread counts) is
+  *     measured in the same process to separate scheduler/memory-bus
+  *     effects from engine effects;
+  *   - fresh JVM per engine run (a SparkContext's thread pool is fixed at
+  *     startup; restarting in-process undercounts).
+  *
+  * Usage: sbt "runMain graft.ScalingBench [numConvs] [avgTurns] [reps]"
   * Child mode (internal): graft.ScalingBench --child <cpus> <convs> <turns>
   */
 object ScalingBench {
 
   def runLevel(cpus: Int, numConvs: Int, avgTurns: Int): (Double, Long) = {
     val spark = GraftSession.local(cpus, s"graft-scaling-$cpus")
-    // The measured job is the FULL engine pass: replay + CEP + windows +
-    // join + materialization (analytics=true) — the raw replay alone is
-    // I/O-light enough that this box's run-to-run noise (±3×) swamps the
-    // core-count signal. Shared table dir: identical input for all levels.
     try Bench.cdcThroughput(spark, numConvs, avgTurns, "/tmp/graft-scaling",
       analytics = true)
     finally spark.stop()
+  }
+
+  /** Raw-ALU control: `threads` threads × `iters` LCG iterations each.
+    * Returns iterations/second. Pure register arithmetic — zero memory
+    * traffic — so it isolates what the box's scheduler can deliver.
+    */
+  def lcgBurn(threads: Int, iters: Long = 2000000000L): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + t
+        var i = 0L
+        while (i < iters) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        sink.addAndGet(x)
+        ()
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    threads * iters / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -31,6 +66,7 @@ object ScalingBench {
     }
     val numConvs = args.headOption.map(_.toInt).getOrElse(20000)
     val avgTurns = args.lift(1).map(_.toInt).getOrElse(20)
+    val reps = args.lift(2).map(_.toInt).getOrElse(5)
 
     def spawn(cpus: Int): (Double, Long) = {
       val java = s"${System.getProperty("java.home")}/bin/java"
@@ -55,21 +91,37 @@ object ScalingBench {
       (parts(2).toDouble, parts(3).toLong)
     }
 
-    // one pass per level (the analytics job is long enough to average out
-    // noise windows); level order 2 → 8 → 32
     val levels = Seq(2, 8, 32)
-    val results = scala.collection.mutable.Map[Int, (Double, Long)]()
-    for (c <- levels) {
-      val r = spawn(c)
-      println(f"[scaling] level=$c tps=${r._1}%.0f")
-      if (!results.contains(c) || r._1 > results(c)._1) results(c) = r
+    val runs = levels.map(_ -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    var nEvents = 0L
+    for (r <- 1 to reps; c <- levels) {
+      val (tps, n) = spawn(c)
+      nEvents = n
+      runs(c) += tps
+      println(f"[scaling] rep=$r level=$c tps=$tps%.0f")
     }
-    val (tps2, n2) = results(2)
-    val (tps8, n8) = results(8)
-    val (tps32, n32) = results(32)
-    require(n8 == n32 && n2 == n8, "all levels must see identical input")
-    val eff28 = (tps8 / tps2) / 4.0
-    val eff832 = (tps32 / tps8) / 4.0
+    val med = levels.map(c => c -> median(runs(c).toSeq)).toMap
+    val eff28 = (med(8) / med(2)) / 4.0
+    val eff832 = (med(32) / med(8)) / 4.0
+
+    // raw-ALU control on the same thread counts, same process
+    println("[scaling] running ALU control…")
+    val ctrl = levels.map(c => c -> lcgBurn(c)).toMap
+    val ctrlEff28 = (ctrl(8) / ctrl(2)) / 4.0
+    val ctrlEff832 = (ctrl(32) / ctrl(8)) / 4.0
+
+    def spread(c: Int): String = {
+      val s = runs(c).toSeq.sorted
+      f"${s.head}%,.0f–${s.last}%,.0f"
+    }
+
+    val verdictLine =
+      if (eff28 >= 0.8)
+        f"**N → 4N criterion (local[2] → local[8]): median efficiency ${eff28}%.3f ≥ 0.8 — met.**"
+      else
+        f"**N → 4N criterion (local[2] → local[8]): median efficiency ${eff28}%.3f — " +
+          f"below 0.8 on this box; see the control experiment below.**"
+
     val report =
       f"""# BENCH — measured results
          |
@@ -79,29 +131,36 @@ object ScalingBench {
          |PLUS the full engine pass (CEP state machines, session/tumbling windows,
          |tool-call stream join, LWW materialization) — on byte-identical input
          |and batch boundaries (seed=42, zipf=1.1, $numConvs%,d conversations,
-         |$n8%,d change events incl. snapshot reads), fresh JVM per level:
+         |$nEvents%,d change events incl. snapshot reads). Protocol: $reps
+         |repetitions per level, fully interleaved (2,8,32, 2,8,32, …), fresh JVM
+         |per run, medians reported.
          |
-         || level | turns/sec | scaling efficiency vs N/4 |
+         || level | median turns/s | spread (min–max) | median efficiency vs N/4 |
+         ||---|---|---|---|
+         || local[2]  (N)   | ${med(2)}%,.0f | ${spread(2)} | — |
+         || local[8]  (4N)  | ${med(8)}%,.0f | ${spread(8)} | **${eff28}%.3f** |
+         || local[32] (16N) | ${med(32)}%,.0f | ${spread(32)} | ${eff832}%.3f (vs local[8]) |
+         |
+         |$verdictLine
+         |
+         |### Control experiment: raw-ALU scaling on the same thread counts
+         |
+         |A pure-register LCG burn (zero memory traffic), measured in-process at
+         |the same thread counts:
+         |
+         || threads | iters/s | efficiency vs N/4 |
          ||---|---|---|
-         || local[2]  (N)   | ${tps2}%,.0f | — |
-         || local[8]  (4N)  | ${tps8}%,.0f | **${eff28}%.3f** |
-         || local[32] (16N) | ${tps32}%,.0f | ${eff832}%.3f (vs local[8]) |
+         || 2  | ${ctrl(2)}%,.3e | — |
+         || 8  | ${ctrl(8)}%,.3e | ${ctrlEff28}%.3f |
+         || 32 | ${ctrl(32)}%,.3e | ${ctrlEff832}%.3f |
          |
-         |**N → 4N criterion (local[2] → local[8]): efficiency ${eff28}%.3f**
-         |(north rule requires ≥0.8).
-         |
-         |### Why the 8→32 pair saturates on this box
-         |
-         |This sandbox is ONE 32-thread VM: a single memory bus and page cache
-         |shared by every "executor" thread. A raw-ALU burn scales to 32 threads
-         |near-perfectly (measured: 32×2e9 LCG iterations in 3.17 s vs 2.78 s for
-         |1 thread), but parquet decode/encode and shuffle are memory-
-         |bandwidth-bound beyond ~8–16 threads, so local[32] adds less over
-         |local[8] (${tps32}%,.0f vs ${tps8}%,.0f turns/s). On a real multi-executor
-         |cluster each 4–8-core executor brings its own memory bus and disks —
-         |which is precisely why production Spark sizes executors at 4–8 cores.
-         |The local[2]→local[8] pair is therefore the faithful stand-in for the
-         |N→4N executor comparison; the 8→32 pair is reported for transparency.
+         |Reading: the control shows what the box's scheduler can deliver. Where
+         |the engine's 8→32 pair falls below the control's, the shortfall is
+         |memory-bus/page-cache contention — one 32-thread VM shares a single
+         |memory system, which is precisely why production Spark sizes executors
+         |at 4–8 cores and why the local[2]→local[8] pair is the faithful stand-in
+         |for the N→4N multi-executor comparison; the 8→32 pair is reported for
+         |transparency.
          |
          |Measured ${java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)}.
          |""".stripMargin
@@ -109,6 +168,6 @@ object ScalingBench {
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), report)
     println(report)
-    println(f"""{"scaling_efficiency":$eff28%.3f,"tps2":$tps2%.0f,"tps8":$tps8%.0f,"tps32":$tps32%.0f,"eff_8_32":$eff832%.3f}""")
+    println(f"""{"scaling_efficiency":$eff28%.3f,"tps2":${med(2)}%.0f,"tps8":${med(8)}%.0f,"tps32":${med(32)}%.0f,"eff_8_32":$eff832%.3f,"reps":$reps,"control_eff_2_8":$ctrlEff28%.3f,"control_eff_8_32":$ctrlEff832%.3f}""")
   }
 }

@@ -119,6 +119,30 @@ object HashingKernels {
     new GenericArrayData(keys)
   }
 
+  /** Distinct word n-grams (first-occurrence order). Semantics match
+    * `split(text, " ")` with Java limit -1 (trailing empties kept) and the
+    * DuckDB oracle's string_split — and the former builtin-HOF pipeline,
+    * which interpreted at ~1 ms/doc; this runs in ~10 µs/doc.
+    */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val w = text.toString.split(" ", -1)
+    if (w.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((w.length * 2) max 16)
+    var i = 0
+    while (i <= w.length - n) {
+      val sb = new java.lang.StringBuilder(w(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(w(i + k)); k += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Exact integer dot product of two long arrays of equal length. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val x = a.toLongArray()
@@ -165,6 +189,21 @@ case class LshBandKeys(child: Expression, bands: Int, bitsPerBand: Int)
     copy(child = newChild)
 }
 
+/** word_ngrams(text, n): distinct word n-grams as array<string>. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "word_ngrams: n must be positive")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.wordNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.wordNgrams($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 /** dot_i64(a, b): exact integer dot product of two array<long> columns —
   * the codegen'd verify kernel (a higher-order-function fold is ~30µs/pair
   * interpreted; this is ~0.1µs).
@@ -204,7 +243,10 @@ object GraftFunctions {
         LshBandKeys(args.head, intLit(args(1), "bands"), intLit(args(2), "bitsPerBand"))),
     (new FunctionIdentifier("dot_i64"),
       new ExpressionInfo(classOf[DotLong].getName, "dot_i64"),
-      (args: Seq[Expression]) => DotLong(args.head, args(1)))
+      (args: Seq[Expression]) => DotLong(args.head, args(1))),
+    (new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => WordNgrams(args.head, intLit(args(1), "n")))
   )
 
   /** Imperative registration for an existing session (idempotent). */

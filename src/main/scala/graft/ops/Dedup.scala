@@ -24,40 +24,66 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
-  /** Distinct word n-grams per document: (id, gram). Narrow explode.
-    * Documents shorter than n tokens yield no grams (guarded: an unguarded
-    * descending `sequence` would throw under Spark 4 ANSI semantics).
+  /** Distinct word n-grams per document: (id, gram). Narrow explode of the
+    * codegen'd `word_ngrams` kernel (the former builtin-HOF pipeline
+    * interpreted at ~1 ms/doc — 60% of q11's runtime). Documents shorter
+    * than n tokens yield no grams.
     */
   def grams(docs: DataFrame, n: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val w = split(col(textCol), " ")
-    val idx = when(size(w) >= n, sequence(lit(0), size(w) - n))
-      .otherwise(array().cast("array<int>"))
-    val g = transform(
-      idx,
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
-    docs.select(col(idCol).as("id"), explode(array_distinct(g)).as("gram"))
-  }
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(call_function("word_ngrams", col(textCol), lit(n))).as("gram"))
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
     * docs sharing ≥1 gram are candidates; |A∩B| falls out of the join
     * group-count; |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * `maxGramDf` is the hot-gram guard for pathological corpora (one
+    * boilerplate gram shared by k docs makes a k² bucket): grams with
+    * document frequency above the cap are dropped from the inverted INDEX
+    * only — candidate pairs still verify their jaccard over the FULL gram
+    * sets, so emitted values stay exact. A pair is missed only if ALL its
+    * shared grams are above the cap, which at jaccard ≥ 0.6 means the docs
+    * are made almost entirely of corpus-wide boilerplate (run exact dedup
+    * first). Default off: the fixture gate demands provable equality.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+      maxGramDf: Int = Int.MaxValue,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val g = grams(docs, n, idCol, textCol).cache()
     val sizes = g.groupBy("id").agg(count(lit(1)).as("ng"))
-    val inter = g.as("a").join(g.as("b"),
-        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
+    if (maxGramDf == Int.MaxValue) {
+      // exact single-join path: intersection counts fall out directly
+      val inter = g.as("a").join(g.as("b"),
+          col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+        .agg(count(lit(1)).as("inter"))
+      jaccardFilter(inter, sizes, threshold)
+    } else {
+      // capped index → candidates → exact verify over full gram sets
+      val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxGramDf).select("gram")
+      val idx = g.join(broadcast(hot), Seq("gram"), "left_anti")
+      val cand = idx.as("a").join(idx.as("b"),
+          col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct()
+      val inter = cand
+        .join(g.toDF("id1", "gram"), "id1")
+        .join(g.toDF("id2", "gram"), Seq("id2", "gram"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      jaccardFilter(inter, sizes, threshold)
+    }
+  }
+
+  private def jaccardFilter(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("ng", "ng1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("ng", "ng2"), "id2")
       .withColumn("raw_j", col("inter") / (col("ng1") + col("ng2") - col("inter")))
       .where(col("raw_j") >= threshold)
       .select(col("id1"), col("id2"), round(col("raw_j"), 4).as("jaccard"))
-  }
 
   /** MinHash signature matrix: for each doc, numHashes minima of
     * (a_k * xxhash64(gram) + b_k) mod p. One explode + one groupBy(id).
@@ -109,12 +135,7 @@ object Dedup {
       .join(g.toDF("id1", "gram"), "id1")
       .join(g.toDF("id2", "gram"), Seq("id2", "gram"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("ng", "ng1"), "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("ng", "ng2"), "id2")
-      .withColumn("raw_j", col("inter") / (col("ng1") + col("ng2") - col("inter")))
-      .where(col("raw_j") >= threshold)
-      .select(col("id1"), col("id2"), round(col("raw_j"), 4).as("jaccard"))
+    jaccardFilter(inter, sizes, threshold)
   }
 
   /** 64-bit SimHash per document from token hashes (unweighted). */

@@ -21,6 +21,28 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6).count() > 0)
   }
 
+  test("hot-gram df cap bounds the candidate join without changing exact values") {
+    import spark.implicits._
+    // pathological corpus: every doc shares one boilerplate prefix (a hot
+    // gram with df = n docs); two docs are true near-dups via rare grams
+    val boiler = "terms of service apply to all"
+    val docs2 = ((0 until 200).map { i =>
+      (i.toLong, s"$boiler unique$i alpha$i beta$i gamma$i delta$i epsilon$i")
+    } ++ Seq(
+      (1000L, s"$boiler the quick brown fox jumps over the lazy dog tonight"),
+      (1001L, s"$boiler the quick brown fox jumps over the lazy dog today")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs2, n = 3, threshold = 0.5)
+    val capped = Dedup.ngramJaccardPairs(docs2, n = 3, threshold = 0.5, maxGramDf = 50)
+    // the near-dup pair survives the cap with its exact jaccard value
+    assertSameRows(capped, uncapped, "capped == uncapped on this corpus")
+    assert(capped.where(col("id1") === 1000 && col("id2") === 1001).count() == 1)
+    // and the capped index is actually small: boilerplate grams are gone
+    val g = Dedup.grams(docs2, 3)
+    val hotDf = g.groupBy("gram").count().agg(max("count")).first().getLong(0)
+    assert(hotDf > 50, "fixture must contain a hot gram")
+  }
+
   test("exact dedup counts duplicates") {
     val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 100000))
     val d = Dedup.exact(doubled)
