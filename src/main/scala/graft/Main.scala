@@ -60,14 +60,35 @@ object Main {
         val turns = pipeline.Windows.turnsFromEvents(sink.readCommitted("events").get)
         val j = pipeline.Joins.toolCallResponse(turns).cache()
         println(s"[tooljoin] pairs=${j.count()} avg_latency_ms=${j.agg(avg("latency_ms")).first().getDouble(0)}")
-      case "export" :: workDir :: fmt :: dest :: Nil =>
+      case "export" :: workDir :: fmt :: dest :: rest =>
+        val compression = rest.headOption.getOrElse("none")
         fmt match {
-          case "jsonl" => sink.Export.jsonl(spark, s"$workDir/out", dest)
-          case "avro" => sink.Export.avro(spark, s"$workDir/out", dest)
+          case "jsonl" => sink.Export.jsonl(spark, s"$workDir/out", dest, compression)
+          case "avro" => sink.Export.avro(spark, s"$workDir/out", dest, compression)
           case "dlq" => sink.Export.dlq(spark, s"$workDir/out", dest)
           case other => System.err.println(s"unknown format $other"); sys.exit(2)
         }
-        println(s"[export] $fmt -> $dest")
+        println(s"[export] $fmt ($compression) -> $dest")
+      case "pipeline" :: rest =>
+        // config-driven run (≙ reference ProductionCdcJob: properties files +
+        // sysprops + CLI ladder): graft.Main pipeline tableDir=... workDir=...
+        //   [configDir=dir] [env=local|dev|staging|prod] [tables=a,b] ...
+        config.AppConfig.load(rest) match {
+          case Left(err) => System.err.println(s"[pipeline] config error: $err"); sys.exit(2)
+          case Right(cfg) =>
+            require(cfg.tableDir.nonEmpty && cfg.workDir.nonEmpty,
+              "pipeline needs tableDir=... and workDir=...")
+            sys.props("graft.latencyAlertMs") = cfg.latencyAlertMs.toString
+            val streamDir = s"${cfg.workDir}/stream"
+            ChangeStreamReader.deliverChanges(spark, cfg.tableDir, streamDir)
+            ChangeStreamReader.spoolSnapshot(spark, cfg.tableDir, streamDir)
+            val q = CdcPipeline.start(spark, streamDir, s"${cfg.workDir}/out",
+              s"${cfg.workDir}/checkpoint", cfg.maxFilesPerTrigger, tables = cfg.tables)
+            q.awaitTermination()
+            val n = ChangeStreamReader.batch(spark, streamDir).count()
+            println(s"[pipeline] env=${cfg.env} events=$n tables=${
+              new sink.ExactlyOnceSink(spark, s"${cfg.workDir}/out").tables().mkString(",")}")
+        }
       case "lineage" :: workDir :: Nil =>
         val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
         sink.readManifest() match {
