@@ -82,9 +82,11 @@ object Main {
             val streamDir = s"${cfg.workDir}/stream"
             ChangeStreamReader.deliverChanges(spark, cfg.tableDir, streamDir)
             ChangeStreamReader.spoolSnapshot(spark, cfg.tableDir, streamDir)
-            val q = CdcPipeline.start(spark, streamDir, s"${cfg.workDir}/out",
-              s"${cfg.workDir}/checkpoint", cfg.maxFilesPerTrigger, tables = cfg.tables)
-            q.awaitTermination()
+            val restarts = CdcPipeline.runWithRestarts(
+              () => CdcPipeline.start(spark, streamDir, s"${cfg.workDir}/out",
+                s"${cfg.workDir}/checkpoint", cfg.maxFilesPerTrigger, tables = cfg.tables),
+              cfg.restartAttempts, cfg.restartDelayMs)
+            if (restarts > 0) println(s"[pipeline] recovered after $restarts restart(s)")
             val n = ChangeStreamReader.batch(spark, streamDir).count()
             println(s"[pipeline] env=${cfg.env} events=$n tables=${
               new sink.ExactlyOnceSink(spark, s"${cfg.workDir}/out").tables().mkString(",")}")

@@ -21,7 +21,9 @@ final case class AppConfig(
     exportFormat: String = "parquet",
     exportCompression: String = "none",
     latencyAlertMs: Long = 10000L,
-    tables: Seq[String] = Nil
+    tables: Seq[String] = Nil,
+    restartAttempts: Int = 3,
+    restartDelayMs: Long = 10000L
 ) {
   /** ≙ reference AppConfig.validateConfiguration (AppConfig.scala:259-273)
     * + the format/compression whitelist of
@@ -47,13 +49,14 @@ object AppConfig {
   val Envs = Set("local", "dev", "staging", "prod")
 
   /** Per-env defaults (≙ reference main.scala:247,267,287,311 parallelism
-    * 1/1/2/2 and checkpoint 30/45/60/60 s — recast for this runtime).
+    * 1/1/2/2, checkpoint 30/45/60/60 s, and fixed-delay restart strategy
+    * 3×10s/3×15s/4×20s/5×30s — recast for this runtime).
     */
   private val envDefaults = Map(
-    "local" -> (8, 30),
-    "dev" -> (8, 45),
-    "staging" -> (16, 60),
-    "prod" -> (32, 60)
+    "local" -> (8, 30, 3, 10000L),
+    "dev" -> (8, 45, 3, 15000L),
+    "staging" -> (16, 60, 4, 20000L),
+    "prod" -> (32, 60, 5, 30000L)
   )
 
   /** ${VAR} substitution from the environment (≙ AppConfig.scala:103-109). */
@@ -96,7 +99,8 @@ object AppConfig {
     def get(k: String): Option[String] =
       cli.get(k).orElse(props.get(s"graft.$k")).orElse(fileLayer.get(k))
     val env = get("env").getOrElse("local")
-    val (defPar, defCk) = envDefaults.getOrElse(env, (8, 30))
+    val (defPar, defCk, defRestarts, defDelay) =
+      envDefaults.getOrElse(env, (8, 30, 3, 10000L))
     val cfg = AppConfig(
       env = env,
       parallelism = get("parallelism").map(_.toInt).getOrElse(defPar),
@@ -110,7 +114,9 @@ object AppConfig {
       exportFormat = get("exportFormat").getOrElse("parquet"),
       exportCompression = get("exportCompression").getOrElse("none"),
       latencyAlertMs = get("latencyAlertMs").map(_.toLong).getOrElse(10000L),
-      tables = get("tables").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      tables = get("tables").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      restartAttempts = get("restartAttempts").map(_.toInt).getOrElse(defRestarts),
+      restartDelayMs = get("restartDelayMs").map(_.toLong).getOrElse(defDelay)
     )
     cfg.validate()
   }

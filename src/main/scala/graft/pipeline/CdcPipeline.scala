@@ -106,6 +106,33 @@ object CdcPipeline {
       .start()
   }
 
+  /** Bounded-restart runner (≙ reference fixed-delay restart strategy:
+    * 3×10s local / 3×15s dev / 4×20s staging / 5×30s prod —
+    * main.scala:262,282,306,330). A failed Structured Streaming query is
+    * restarted from its checkpoint after `delayMs`; the idempotent sink
+    * makes the retry exactly-once (a replayed batch is a no-op). Returns
+    * the number of restarts used; rethrows once the budget is exhausted.
+    */
+  def runWithRestarts(startQuery: () => StreamingQuery, maxRestarts: Int = 3,
+      delayMs: Long = 10000L): Int = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        startQuery().awaitTermination()
+        done = true
+      } catch {
+        case e: Throwable if attempt < maxRestarts =>
+          attempt += 1
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"[restart] query failed (${e.getClass.getSimpleName}); " +
+              s"attempt $attempt/$maxRestarts after ${delayMs}ms")
+          Thread.sleep(delayMs)
+      }
+    }
+    attempt
+  }
+
   /** Run to completion of currently-available input (snapshot + delivered
     * change files) and return. Resumable: same checkpointDir resumes from
     * the last committed offset.

@@ -181,6 +181,46 @@ class CdcPipelineSpec extends SparkSpec {
     assert(sink.readCommitted("events").get.count() == 2 * c1)
   }
 
+  test("restart strategy: a failing batch recovers from checkpoint, exactly-once") {
+    val tableDir = tmpDir("rtable")
+    val streamDir = tmpDir("rstream")
+    val outDir = tmpDir("rout")
+    val ckDir = tmpDir("rck")
+    val small = cfg.copy(numConvs = 40)
+    TranscriptGen.writeTable(spark, small, tableDir)
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    ChangeStreamReader.spoolSnapshot(spark, tableDir, streamDir)
+    val sink = new ExactlyOnceSink(spark, outDir)
+    // poison: the first attempt dies mid-stream on batch 2 (after batch 0-1
+    // committed); the restart resumes from the checkpoint and completes
+    val poisoned = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def startQuery() = ChangeStreamReader.stream(spark, streamDir, 4)
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 2 && poisoned.getAndSet(false))
+          throw new RuntimeException("injected failure")
+        CdcPipeline.processBatch(sink, df, id)
+      }
+      .start()
+    val restarts = CdcPipeline.runWithRestarts(() => startQuery(), maxRestarts = 3, delayMs = 100)
+    assert(restarts == 1, "exactly one restart consumed")
+    assertSameRows(
+      CdcPipeline.materialize(spark, outDir).toDF(),
+      TranscriptGen.finalState(spark, small).toDF(),
+      "state after recovery")
+    // restart budget exhausted → the failure propagates
+    val always = () => ChangeStreamReader.stream(spark, streamDir, 4)
+      .writeStream.option("checkpointLocation", tmpDir("rck2"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        throw new RuntimeException("always fails")
+      }
+      .start()
+    intercept[Exception](CdcPipeline.runWithRestarts(always, maxRestarts = 1, delayMs = 50))
+  }
+
   test("ordering: snapshot turns are monotone in (turn_idx, ts) per conversation") {
     val tableDir = tmpDir("table3")
     val streamDir = tmpDir("stream3")
