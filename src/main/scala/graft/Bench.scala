@@ -30,11 +30,12 @@ object Bench {
     * shared across runs/levels.
     */
   def cdcThroughput(spark: SparkSession, numConvs: Int, avgTurns: Int,
-      workRoot: String, analytics: Boolean = false): (Double, Long) = {
+      workRoot: String, analytics: Boolean = false,
+      zipf: Double = 1.1): (Double, Long) = {
     val cfg = GenConfig(numConvs = numConvs, avgTurns = avgTurns, seed = 42L,
-      zipf = 1.1, changeFiles = 4, changeEventsPerTurn = 0.3,
+      zipf = zipf, changeFiles = 4, changeEventsPerTurn = 0.3,
       malformedFrac = 0.01, schemaChangeFrac = 0.01)
-    val tableDir = s"$workRoot/table-$numConvs-$avgTurns"
+    val tableDir = s"$workRoot/table-$numConvs-$avgTurns-z$zipf"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$tableDir/_done")
     if (!fs.exists(marker)) {
@@ -97,7 +98,10 @@ object Bench {
       }
     }
 
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toInt
+    // 50k convs ≈ 1.7M events: large enough that replay throughput measures
+    // work, not micro-batch scheduling overhead (at 20k convs the number was
+    // overhead-bound and insensitive to core count)
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "50000").toInt
     val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "20").toInt
     val (tps, nEvents) = cdcThroughput(spark, benchConvs, benchTurns, "/tmp/graft-bench")
 
