@@ -56,8 +56,8 @@ object ScalingBench {
     * threads share a single memory system, so its scaling curve is the
     * honest upper bound for the engine's.
     */
-  def memBurn(threads: Int, passes: Int = 8): Double = {
-    val words = 32 * 1024 * 1024 // 256 MB per thread
+  def memBurn(threads: Int, passes: Int = 32): Double = {
+    val words = 8 * 1024 * 1024 // 64 MB per thread (≫ LLC share, fits 8g heap ×32)
     val arrays = Array.fill(threads)(Array.tabulate[Long](words)(_.toLong))
     val sink = new java.util.concurrent.atomic.AtomicLong()
     val t0 = System.nanoTime()
