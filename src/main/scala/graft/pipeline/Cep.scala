@@ -112,21 +112,22 @@ object Cep {
     */
   private def drainRipePending(conv: String, s0: CepState, wmMs: Long,
       horizonMs: Long, out: scala.collection.mutable.Buffer[PatternMatch]): CepState = {
+    // one sort for the whole buffer (a re-sort per gap would be quadratic
+    // on a large buffer with many holes)
+    val ordered = s0.pending.values.toArray.sortBy(_.turn_idx)
     var s = s0
-    var pending = s.pending
-    var keys = pending.keys.toSeq.sorted
-    while (keys.nonEmpty && pending(keys.head).tsMs + horizonMs <= wmMs) {
-      val t = pending(keys.head)
-      pending -= keys.head
-      s = step(conv, t, s, out)
-      // stepping may unlock in-order successors already buffered
-      while (pending.contains(s.nextIdx)) {
-        val nxt = pending(s.nextIdx); pending -= s.nextIdx
-        s = step(conv, nxt, s, out)
-      }
-      keys = pending.keys.toSeq.sorted
+    var i = 0
+    var halted = false
+    while (i < ordered.length && !halted) {
+      val t = ordered(i)
+      if (t.turn_idx < s.nextIdx) i += 1 // stale duplicate below the frontier
+      else if (t.turn_idx == s.nextIdx || t.tsMs + horizonMs <= wmMs) {
+        // in-order successor, or a gap whose grace has fully passed
+        s = step(conv, t, s, out)
+        i += 1
+      } else halted = true
     }
-    s.copy(pending = pending)
+    s.copy(pending = ordered.drop(i).map(t => t.turn_idx -> t).toMap)
   }
 
   private def process(conv: String, it: Iterator[TurnLite],
