@@ -8,6 +8,35 @@ import org.apache.spark.sql.SparkSession
   * would be tuned per-cluster in production).
   */
 object GraftSession {
+
+  /** Multi-executor local cluster: `numExecutors` SEPARATE executor JVMs
+    * (own heap, own GC) × `coresPerExecutor` — the faithful emulation of an
+    * N-executor Spark deployment on one box (local[k] shares one JVM and
+    * one garbage collector across all "executors"). Requires SPARK_HOME
+    * (worker processes launch from the distribution) — /opt/spark here.
+    */
+  def cluster(numExecutors: Int, coresPerExecutor: Int, memMb: Int,
+      appName: String = "graft"): SparkSession = {
+    val appCp = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+    val spark = SparkSession
+      .builder()
+      .master(s"local-cluster[$numExecutors,$coresPerExecutor,$memMb]")
+      .appName(appName)
+      .config("spark.executor.memory", s"${memMb}m")
+      .config("spark.executor.extraClassPath", appCp)
+      .config("spark.sql.shuffle.partitions", (numExecutors * coresPerExecutor).toString)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    spark
+  }
+
   def local(cores: Int, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()

@@ -23,8 +23,16 @@ package graft
   */
 object ScalingBench {
 
-  def runLevel(cpus: Int, numConvs: Int, avgTurns: Int, zipf: Double): (Double, Long) = {
-    val spark = GraftSession.local(cpus, s"graft-scaling-$cpus")
+  /** One measured run. mode "executors": `level` separate 2-core executor
+    * JVMs (local-cluster — the faithful N-executor emulation); mode
+    * "threads": local[level] (all cores share one JVM + one GC).
+    */
+  def runLevel(mode: String, level: Int, numConvs: Int, avgTurns: Int,
+      zipf: Double): (Double, Long) = {
+    val spark = mode match {
+      case "executors" => GraftSession.cluster(level, 2, 4096, s"graft-scaling-x$level")
+      case _ => GraftSession.local(level, s"graft-scaling-$level")
+    }
     try Bench.cdcThroughput(spark, numConvs, avgTurns, "/tmp/graft-scaling",
       analytics = true, zipf = zipf)
     finally spark.stop()
@@ -88,8 +96,8 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--child")) {
-      val Array(_, c, n, t, z) = args
-      val (tps, events) = runLevel(c.toInt, n.toInt, t.toInt, z.toDouble)
+      val Array(_, m, c, n, t, z) = args
+      val (tps, events) = runLevel(m, c.toInt, n.toInt, t.toInt, z.toDouble)
       println(f"SCALING_RESULT $c $tps%.1f $events")
       return
     }
@@ -103,6 +111,11 @@ object ScalingBench {
     // a 10^12-turn corpus cannot have a 1.4×10^11-turn conversation. The
     // z=1.1 run is still reported as the skew-ceiling sidebar.
     val zipf = args.lift(3).filterNot(_ => args.head == "--report").map(_.toDouble).getOrElse(0.5)
+    // "executors" (default): level = number of 2-core executor JVMs
+    // (1 → 4 → 16 = N → 4N → 16N executors); "threads": level = local[k].
+    val mode = args.lift(4).getOrElse(
+      if (args.headOption.contains("--report")) args.lift(3).getOrElse("executors")
+      else "executors")
 
     // --report <logFile> <nEvents>: rebuild the report from an existing run's
     // "[scaling] rep=i level=c tps=N" lines (e.g. after a formatting crash)
@@ -128,10 +141,14 @@ object ScalingBench {
         "java.base/sun.util.calendar"
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
       val cmd = Seq(java) ++ opens ++ Seq("-Xmx24g", "-cp", cp,
-        "graft.ScalingBench", "--child", cpus.toString, numConvs.toString,
+        "graft.ScalingBench", "--child", mode, cpus.toString, numConvs.toString,
         avgTurns.toString, zipf.toString)
       val out = new StringBuilder
-      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      // local-cluster workers launch executor JVMs from the distribution
+      pb.environment().put("SPARK_HOME", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+      val proc = pb.start()
       scala.io.Source.fromInputStream(proc.getInputStream).getLines().foreach { l =>
         if (l.startsWith("SCALING_RESULT")) out.append(l)
       }
@@ -140,7 +157,9 @@ object ScalingBench {
       (parts(2).toDouble, parts(3).toLong)
     }
 
-    val levels = Seq(2, 8, 32)
+    val levels = if (mode == "executors") Seq(1, 4, 16) else Seq(2, 8, 32)
+    def lbl(c: Int): String =
+      if (mode == "executors") s"$c×(2-core executor JVM)" else s"local[$c]"
     val runs = levels.map(_ -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
     var nEvents = 0L
     reparse match {
@@ -155,20 +174,23 @@ object ScalingBench {
           println(f"[scaling] rep=$r level=$c tps=$tps%.0f")
         }
     }
+    val Seq(l0, l1, l2c) = levels
     val med = levels.map(c => c -> median(runs(c).toSeq)).toMap
-    val eff28 = (med(8) / med(2)) / 4.0
-    val eff832 = (med(32) / med(8)) / 4.0
+    val eff28 = (med(l1) / med(l0)) / 4.0
+    val eff832 = (med(l2c) / med(l1)) / 4.0
 
-    // controls on the same thread counts, same process: raw ALU (what the
-    // scheduler can deliver) and streamed memory (what scan/shuffle stress)
+    // controls on the same TOTAL CORE counts, same process: raw ALU (what
+    // the scheduler can deliver) and streamed memory (what scan/shuffle
+    // stress)
+    val coreLevels = if (mode == "executors") levels.map(_ * 2) else levels
     println("[scaling] running ALU control…")
-    val ctrl = levels.map(c => c -> lcgBurn(c)).toMap
-    val ctrlEff28 = (ctrl(8) / ctrl(2)) / 4.0
-    val ctrlEff832 = (ctrl(32) / ctrl(8)) / 4.0
+    val ctrl = coreLevels.map(c => c -> lcgBurn(c)).toMap
+    val ctrlEff28 = (ctrl(coreLevels(1)) / ctrl(coreLevels(0))) / 4.0
+    val ctrlEff832 = (ctrl(coreLevels(2)) / ctrl(coreLevels(1))) / 4.0
     println("[scaling] running memory-bandwidth control…")
-    val mem = levels.map(c => c -> memBurn(c)).toMap
-    val memEff28 = (mem(8) / mem(2)) / 4.0
-    val memEff832 = (mem(32) / mem(8)) / 4.0
+    val mem = coreLevels.map(c => c -> memBurn(c)).toMap
+    val memEff28 = (mem(coreLevels(1)) / mem(coreLevels(0))) / 4.0
+    val memEff832 = (mem(coreLevels(2)) / mem(coreLevels(1))) / 4.0
 
     def spread(c: Int): String = {
       val s = runs(c).toSeq.sorted
@@ -177,9 +199,9 @@ object ScalingBench {
 
     val verdictLine =
       if (eff28 >= 0.8)
-        f"**N → 4N criterion (local[2] → local[8]): median efficiency ${eff28}%.3f ≥ 0.8 — met.**"
+        f"**N → 4N criterion (${lbl(l0)} → ${lbl(l1)}): median efficiency ${eff28}%.3f ≥ 0.8 — met.**"
       else
-        f"**N → 4N criterion (local[2] → local[8]): median efficiency ${eff28}%.3f — " +
+        f"**N → 4N criterion (${lbl(l0)} → ${lbl(l1)}): median efficiency ${eff28}%.3f — " +
           f"below 0.8 on this single-memory-bus box; the engine tracks the measured " +
           f"memory-bandwidth ceiling (${memEff28}%.3f), not a software limit — " +
           f"see the control experiments below.**"
@@ -199,9 +221,9 @@ object ScalingBench {
          |
          || level | median turns/s | spread (min–max) | median efficiency vs N/4 |
          ||---|---|---|---|
-         || local[2]  (N)   | ${med(2)}%,.0f | ${spread(2)} | — |
-         || local[8]  (4N)  | ${med(8)}%,.0f | ${spread(8)} | **${eff28}%.3f** |
-         || local[32] (16N) | ${med(32)}%,.0f | ${spread(32)} | ${eff832}%.3f (vs local[8]) |
+         || ${lbl(l0)} (N) | ${med(l0)}%,.0f | ${spread(l0)} | — |
+         || ${lbl(l1)} (4N) | ${med(l1)}%,.0f | ${spread(l1)} | **${eff28}%.3f** |
+         || ${lbl(l2c)} (16N) | ${med(l2c)}%,.0f | ${spread(l2c)} | ${eff832}%.3f (vs 4N) |
          |
          |$verdictLine
          |
@@ -212,18 +234,18 @@ object ScalingBench {
          |
          || threads | iters/s | efficiency vs N/4 |
          ||---|---|---|
-         || 2  | ${ctrl(2)}%.3e | — |
-         || 8  | ${ctrl(8)}%.3e | ${ctrlEff28}%.3f |
-         || 32 | ${ctrl(32)}%.3e | ${ctrlEff832}%.3f |
+         || ${coreLevels(0)}  | ${ctrl(coreLevels(0))}%.3e | — |
+         || ${coreLevels(1)}  | ${ctrl(coreLevels(1))}%.3e | ${ctrlEff28}%.3f |
+         || ${coreLevels(2)} | ${ctrl(coreLevels(2))}%.3e | ${ctrlEff832}%.3f |
          |
          |2. Streamed memory (each thread sum-scans a private 256 MB array) —
          |   what Spark's scan/shuffle/cache work actually stresses:
          |
          || threads | bytes/s | efficiency vs N/4 |
          ||---|---|---|
-         || 2  | ${mem(2)}%.3e | — |
-         || 8  | ${mem(8)}%.3e | ${memEff28}%.3f |
-         || 32 | ${mem(32)}%.3e | ${memEff832}%.3f |
+         || ${coreLevels(0)}  | ${mem(coreLevels(0))}%.3e | — |
+         || ${coreLevels(1)}  | ${mem(coreLevels(1))}%.3e | ${memEff28}%.3f |
+         || ${coreLevels(2)} | ${mem(coreLevels(2))}%.3e | ${memEff832}%.3f |
          |
          |Reading: ALU parallelism is near-perfect, but DELIVERED MEMORY
          |BANDWIDTH stops scaling — all "executors" in local mode share one
@@ -233,8 +255,11 @@ object ScalingBench {
          |control's, the engine is extracting what the box can give. On a real
          |N→4N EXECUTOR comparison each executor brings its own memory bus —
          |which is exactly what this box cannot emulate, why production Spark
-         |sizes executors at 4–8 cores, and why BASELINE.md frames local[2]→
-         |local[8] as the stand-in. See BENCH/SKEW.md for the companion
+         |sizes executors at 4–8 cores. In "executors" mode each level runs
+         |SEPARATE 2-core executor JVMs (local-cluster) — the faithful
+         |N-vs-4N-executor emulation this one box can give, isolating heap,
+         |GC, and task pools per executor; only the memory bus stays shared.
+         |See BENCH/SKEW.md for the companion
          |data-skew ceiling (zipf > 1 fixtures cap ANY engine at ≤ 0.57).
          |
          |Measured ${java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)}.
@@ -243,6 +268,6 @@ object ScalingBench {
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), report)
     println(report)
-    println(f"""{"scaling_efficiency":$eff28%.3f,"tps2":${med(2)}%.0f,"tps8":${med(8)}%.0f,"tps32":${med(32)}%.0f,"eff_8_32":$eff832%.3f,"reps":$reps,"zipf":$zipf,"alu_eff_2_8":$ctrlEff28%.3f,"alu_eff_8_32":$ctrlEff832%.3f,"mem_eff_2_8":$memEff28%.3f,"mem_eff_8_32":$memEff832%.3f}""")
+    println(f"""{"scaling_efficiency":$eff28%.3f,"mode":"$mode","tpsN":${med(l0)}%.0f,"tps4N":${med(l1)}%.0f,"tps16N":${med(l2c)}%.0f,"eff_8_32":$eff832%.3f,"reps":$reps,"zipf":$zipf,"alu_eff_2_8":$ctrlEff28%.3f,"alu_eff_8_32":$ctrlEff832%.3f,"mem_eff_2_8":$memEff28%.3f,"mem_eff_8_32":$memEff832%.3f}""")
   }
 }
