@@ -43,7 +43,8 @@ object SparkEntry {
     "q20_rollup" -> (Queries.q20Rollup _),
     "q21_distinct" -> (Queries.q21Distinct _),
     "q22_emb_dedup" -> (Queries.q22EmbDedup _),
-    "q23_multimodal" -> (Queries.q23Multimodal _)
+    "q23_multimodal" -> (Queries.q23Multimodal _),
+    "q24_bpe_tokens" -> (Queries.q24BpeTokens _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -216,7 +217,12 @@ object SparkEntry {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
-    "q22_emb_dedup" -> embDedupSql
+    "q22_emb_dedup" -> embDedupSql,
+    "q24_bpe_tokens" ->
+      """SELECT source,
+        |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe,
+        |  CAST(max(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS max_bpe
+        |FROM documents GROUP BY source""".stripMargin
     // q13_simhash, q19_fingerprint: engine-hash-specific (xxhash64) → rows-only
     // q23_multimodal: mapPartitions decode stub → rows-only
   )

@@ -84,8 +84,25 @@ object LatencyMonitor {
 
   def clear(): Unit = { history.clear(); alerts.clear() }
 
-  /** Aggregate batch latency vs `nowMs` and record an alert if any event
-    * exceeds the threshold. `batch` must carry `source.ts_ms`.
+  /** Record pre-aggregated batch latency stats (the pipeline folds them
+    * into the lineage aggregate — no extra pass) and alert past threshold.
+    */
+  def record(batchId: Long, maxLatencyMs: Long, avgLatencyMs: Double,
+      lateEvents: Long, events: Long, alertMs: Long = DefaultAlertMs): LatencyStats = {
+    val st = LatencyStats(batchId, maxLatencyMs, avgLatencyMs, lateEvents, events)
+    history.add(st)
+    if (st.lateEvents > 0) {
+      alerts.add(st)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        f"[latency] batch=$batchId ${st.lateEvents} of ${st.events} events over ${alertMs}ms " +
+          f"(max=${st.maxLatencyMs}ms avg=${st.avgLatencyMs}%.0fms)")
+    }
+    st
+  }
+
+  /** Aggregate batch latency vs `nowMs` and record (standalone form; the
+    * CDC pipeline uses `record` fed from its lineage aggregate instead).
+    * `batch` must carry `source.ts_ms`.
     */
   def check(batchId: Long, batch: org.apache.spark.sql.DataFrame,
       alertMs: Long = DefaultAlertMs,
@@ -97,14 +114,6 @@ object LatencyMonitor {
       coalesce(avg(lat), lit(0.0)),
       count(when(lat > alertMs, 1)),
       count(lit(1))).first()
-    val st = LatencyStats(batchId, r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))
-    history.add(st)
-    if (st.lateEvents > 0) {
-      alerts.add(st)
-      org.apache.log4j.Logger.getLogger(getClass).warn(
-        f"[latency] batch=$batchId ${st.lateEvents} of ${st.events} events over ${alertMs}ms " +
-          f"(max=${st.maxLatencyMs}ms avg=${st.avgLatencyMs}%.0fms)")
-    }
-    st
+    record(batchId, r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), alertMs)
   }
 }

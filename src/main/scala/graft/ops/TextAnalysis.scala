@@ -22,6 +22,17 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenizer stand-in (GPT-2's structure without the
+    * unicode categories a cross-engine oracle can't mirror): letter runs,
+    * digit runs, and single punctuation marks. The regex uses only classes
+    * with identical semantics in Java regex (Spark codegen) and RE2
+    * (DuckDB), so counts are engine-exact.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** A small function-word list that exists in the synthetic vocab; the
     * language-ID heuristic is "function-word ratio over threshold".
     */

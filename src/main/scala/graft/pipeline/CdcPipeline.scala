@@ -40,18 +40,35 @@ object CdcPipeline {
     val keyed = tableFiltered(routed(batch), tables).persist()
     try {
       sink.writeBatch(batchId, keyed)
-      // per-batch source-latency alert (reference CDCMonitor's 10 s warn);
-      // one aggregate over the cached batch, disabled with threshold <= 0
+      // ONE aggregate computes both the commit lineage and the per-batch
+      // source-latency stats (reference CDCMonitor's 10 s warn) — merging
+      // them saves a full pass over the cached batch per micro-batch
       val alertMs = sys.props.get("graft.latencyAlertMs").map(_.toLong)
         .getOrElse(graft.metrics.LatencyMonitor.DefaultAlertMs)
-      if (alertMs > 0) graft.metrics.LatencyMonitor.check(batchId, keyed, alertMs)
-      val lineage = keyed
+      val nowMs = System.currentTimeMillis()
+      val lat = lit(nowMs) - col("source.ts_ms")
+      val rows = keyed
         .groupBy(concat_ws("/", col("route"), col("src_table"), col("p_date")).as("part"))
         .agg(count(lit(1)).as("rows"),
           coalesce(min(col("source.lsn")), lit(-1L)).as("minLsn"),
-          coalesce(max(col("source.lsn")), lit(-1L)).as("maxLsn"))
+          coalesce(max(col("source.lsn")), lit(-1L)).as("maxLsn"),
+          coalesce(max(lat), lit(0L)).as("maxLat"),
+          coalesce(sum(lat), lit(0L)).as("sumLat"),
+          count(when(lat > alertMs, 1)).as("late"),
+          count(col("source.ts_ms")).as("latN"))
         .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val lineage = rows.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      if (alertMs > 0 && rows.nonEmpty) {
+        val latN = rows.map(_.getLong(7)).sum
+        graft.metrics.LatencyMonitor.record(
+          batchId,
+          maxLatencyMs = rows.map(_.getLong(4)).max,
+          avgLatencyMs = if (latN == 0) 0.0 else rows.map(_.getLong(5)).sum.toDouble / latN,
+          lateEvents = rows.map(_.getLong(6)).sum,
+          events = rows.map(_.getLong(1)).sum,
+          alertMs = alertMs)
+      }
       sink.commit(batchId, lineage)
     } finally { keyed.unpersist(); () }
   }

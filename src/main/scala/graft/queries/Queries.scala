@@ -212,6 +212,16 @@ object Queries {
   def q22EmbDedup(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Dedup.embeddingNearDupPairs(table(spark, sfDir, "documents"))
 
+  /** q24: BPE-ish token accounting (letter/digit runs + punctuation marks),
+    * the subword-budget twin of q18's whitespace counts.
+    */
+  def q24BpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        sum(graft.ops.TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("total_bpe"),
+        max(graft.ops.TextAnalysis.bpeTokenCount(col("text"))).cast("long").as("max_bpe"))
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))
