@@ -43,6 +43,24 @@ class PlanSpec extends SparkSpec {
       "embedding near-dup must not plan an all-pairs join:\n" + p.take(800))
   }
 
+  test("q11/q12: dedup joins are equi-joins with partial aggregation, never cartesian") {
+    Seq(Queries.q11NgramJaccard(spark, sf), Queries.q12MinhashLsh(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(600))
+      assert(p.contains("partial_count") || p.contains("partial_min"),
+        "map-side partial aggregation present:\n" + p.take(600))
+    }
+  }
+
+  test("q15: IVF assignment is a narrow codegen'd map (no join/exchange before the index)") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (index, _) = graft.ops.Similarity.buildIvfIndex(embs, nlist = 16)
+    val p = plan(index)
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "nearest_centroid must not shuffle:\n" + p.take(600))
+    assert(p.contains("nearest_centroid") || p.contains("*(1)"), p.take(300))
+  }
+
   test("CDC routed projection stays narrow (no exchange before the sink shuffle)") {
     import graft.pipeline.CdcPipeline
     val df = graft.source.ChangeStreamReader.batch(spark,
