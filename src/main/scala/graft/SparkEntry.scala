@@ -189,6 +189,23 @@ object SparkEntry {
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
     "q11_ngram_jaccard" -> ngramJaccardSql,
     "q12_minhash_lsh" -> ngramJaccardSql,
+    // q13 mirror: 60-bit simhash from md5 token hashes (engine-neutral —
+    // see TextAnalysis.tokenHash60); the oracle is the all-pairs hamming
+    // reference, which the pigeonhole banding provably equals.
+    "q13_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |           CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |                THEN 1 ELSE 0 END AS bit
+        |         FROM th, (SELECT unnest(generate_series(0, 59)) AS b) bs
+        |         GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << b) AS BIGINT) AS s
+        |       FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 7""".stripMargin,
     "q14_ann_brute" -> annBruteSql,
     "q15_ann_ivf" -> annBruteSql,
     "q16_langid" ->
@@ -207,6 +224,16 @@ object SparkEntry {
       """SELECT source, sum(len(string_split(text,' '))) AS total_tokens,
         |  CAST(max(len(string_split(text,' '))) AS BIGINT) AS max_tokens
         |FROM documents GROUP BY source""".stripMargin,
+    // q19 mirror: rolling polynomial fingerprint over md5 token hashes in
+    // the 31-bit Mersenne ring — exact integers in both engines.
+    "q19_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT % 2147483647)),
+        |    (a, x) -> (a * 1000003 + x) % 2147483647) AS fingerprint
+        |FROM documents""".stripMargin,
     "q20_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
         |  sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS total_bal
@@ -223,7 +250,6 @@ object SparkEntry {
         |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe,
         |  CAST(max(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS max_bpe
         |FROM documents GROUP BY source""".stripMargin
-    // q13_simhash, q19_fingerprint: engine-hash-specific (xxhash64) → rows-only
     // q23_multimodal: mapPartitions decode stub → rows-only
   )
 }

@@ -138,37 +138,46 @@ object Dedup {
     jaccardFilter(inter, sizes, threshold)
   }
 
-  /** 64-bit SimHash per document from token hashes (unweighted). */
+  /** SimHash bit width: 60 (the md5-derived token hash is 15 hex chars so
+    * it stays an exact signed BIGINT in every engine — see
+    * TextAnalysis.tokenHash60).
+    */
+  val SimhashBits = 60
+
+  /** SimHash per document from engine-neutral md5 token hashes
+    * (unweighted); bit-reproducible in DuckDB, so q13 is hash-checked
+    * rather than rows-only.
+    */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", graft.ops.TextAnalysis.tokenHash60(col("tok")))
     // per bit: +1 if set else -1; sign of the sum is the output bit
-    val bitSums = (0 until 64).map { b =>
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+        (0 until SimhashBits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
   /** SimHash near-dup candidates: block on (maxHamming+1) bit-chunks — by
-    * pigeonhole, any pair within `maxHamming` of 64 bits shares at least one
-    * identical chunk — then filter by true hamming distance. Exact recall by
-    * construction. Default 3 is the standard simhash dedup operating point
-    * (4×16-bit tables); larger thresholds trade chunk width for candidate
+    * pigeonhole, any pair within `maxHamming` of SimhashBits shares at
+    * least one identical chunk — then filter by true hamming distance.
+    * Exact recall by construction. Default 3 is the standard simhash dedup
+    * operating point; larger thresholds trade chunk width for candidate
     * volume.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, "maxHamming out of range")
+    require(maxHamming >= 0 && maxHamming < 30, "maxHamming out of range")
     val nChunks = maxHamming + 1
-    val width = 64 / nChunks
+    val width = SimhashBits / nChunks
     val sh = simhash(docs, idCol, textCol).cache()
     val chunks = sh.select(col("id"), col("simhash"),
       explode(array((0 until nChunks).map { c =>
-        val hi = if (c == nChunks - 1) 64 else (c + 1) * width
+        val hi = if (c == nChunks - 1) SimhashBits else (c + 1) * width
         val mask = if (hi - c * width >= 64) -1L else (1L << (hi - c * width)) - 1
         struct(lit(c).as("c"),
           shiftright(col("simhash"), c * width).bitwiseAND(mask).as("v"))

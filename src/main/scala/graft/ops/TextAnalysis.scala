@@ -66,18 +66,25 @@ object TextAnalysis {
     round((lenScore + stopScore + meanLenScore + diversity) / 4.0, 4)
   }
 
-  /** 64-bit rolling document fingerprint: polynomial fold of per-token
-    * xxhash64 values. Order-sensitive (same bag of words, different order →
-    * different fingerprint), O(tokens), no shuffle.
+  /** Engine-neutral 60-bit token hash: the first 15 md5-hex chars as an
+    * integer (< 2^60, so it is an exact signed BIGINT in Spark AND DuckDB —
+    * 16 chars would overflow the signed range one engine or the other).
+    * Built from codegen'd builtins (md5/substring/conv).
+    */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** Rolling document fingerprint: polynomial fold of per-token md5-derived
+    * hashes in a 31-bit Mersenne ring. Order-sensitive (same bag of words,
+    * different order → different fingerprint), O(tokens), no shuffle, and
+    * bit-reproducible in any engine (DuckDB oracle mirrors it exactly).
     */
   def fingerprint(text: Column): Column = {
-    // modular rolling hash inside a 62-bit ring: ANSI-safe (no long overflow)
+    // modular rolling hash: ANSI-safe (acc < 2^31, acc*1000003 + h < 2^62)
     val p = 2147483647L // 2^31 - 1
     aggregate(tokens(text), lit(0L),
-      (acc, t) => (acc * lit(1000003L) + pmod(xxhash64(t), lit(p))) % lit(p))
+      (acc, t) => (acc * lit(1000003L) + tokenHash60(t) % lit(p)) % lit(p))
   }
-
-  private def pmod(c: Column, m: Column): Column = ((c % m) + m) % m
 
   /** Convenience projection of all per-document text features. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

