@@ -143,6 +143,32 @@ object HashingKernels {
     new GenericArrayData(out)
   }
 
+  /** Sign-LSH band keys over a float/double vector (sign bits are
+    * scale-invariant, so no normalization needed). Same deterministic ±1
+    * hyperplanes as the integer path.
+    */
+  def bandKeysFp(vec: ArrayData, isFloat: Boolean, bands: Int, bitsPerBand: Int): ArrayData = {
+    val dims = vec.numElements()
+    val v = new Array[Double](dims)
+    var d = 0
+    while (d < dims) {
+      v(d) = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+      d += 1
+    }
+    val h = hyperplanes(bands * bitsPerBand, dims)
+    val keys = new Array[Long](bands)
+    var p = 0
+    while (p < bands * bitsPerBand) {
+      val row = h(p)
+      var dot = 0.0
+      var i = 0
+      while (i < dims) { dot += v(i) * row(i); i += 1 }
+      if (dot > 0.0) keys(p / bitsPerBand) |= 1L << (p % bitsPerBand)
+      p += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   /** Exact integer dot product of two long arrays of equal length. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val x = a.toLongArray()
@@ -201,6 +227,23 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashingKernels.wordNgrams($c, $n);")
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** lsh_band_keys_fp(vec, bands, bitsPerBand): sign-LSH band keys for a
+  * float/double embedding column.
+  */
+case class LshBandKeysFp(child: Expression, isFloat: Boolean, bands: Int,
+    bitsPerBand: Int) extends UnaryExpression {
+  require(bands > 0 && bitsPerBand > 0 && bitsPerBand < 63, "lsh_band_keys_fp: bad banding")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys_fp"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.bandKeysFp(input.asInstanceOf[ArrayData], isFloat, bands, bitsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.bandKeysFp($c, $isFloat, $bands, $bitsPerBand);")
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeysFp =
     copy(child = newChild)
 }
 

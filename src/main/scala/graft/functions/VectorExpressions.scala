@@ -77,4 +77,9 @@ object VectorFunctions {
       isFloat: Boolean): Column =
     GraftSqlBridge.column(
       NearestCentroid(GraftSqlBridge.expression(vec), centroids, isFloat))
+
+  def lshBandKeysFp(vec: Column, isFloat: Boolean, bands: Int,
+      bitsPerBand: Int): Column =
+    GraftSqlBridge.column(
+      LshBandKeysFp(GraftSqlBridge.expression(vec), isFloat, bands, bitsPerBand))
 }

@@ -224,6 +224,43 @@ object Dedup {
       .withColumn("n2", call_function("dot_i64", col("v"), col("v")))
       .where(col("n2") > 0)
 
+  /** Float-embedding near-dup over a real Array[Float]/Array[Double]
+    * column: sign-LSH banded candidates (scale-invariant hyperplane sign
+    * bits) + exact cosine verify. Candidate recall is governed by
+    * bands × bitsPerBand at the operating threshold — miss probability
+    * (1 − p^bits)^bands with p = 1 − acos(t)/π, < 2·10⁻⁶ at t ≥ 0.95 with
+    * the defaults — and every EMITTED pair is exactly verified with the
+    * same expression as the all-pairs reference, so precision is 1 and
+    * values are bit-identical to it. Near-dup detection below t ≈ 0.8 on
+    * unstructured vectors is not LSH-able (measured on the uniform fixture:
+    * the candidate set degenerates to all pairs) — that regime needs the
+    * exact reference or a quantized index, not this operator.
+    */
+  def embeddingCosinePairs(embs: DataFrame, threshold: Double,
+      bands: Int = 32, bitsPerBand: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val isFloat = Similarity.isFloatVec(embs, vecCol)
+    val e = embs.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"))
+    val keys = embs.select(col(idCol).as("id"),
+        posexplode(graft.functions.VectorFunctions.lshBandKeysFp(
+          col(vecCol), isFloat, bands, bitsPerBand)))
+      .toDF("id", "band", "key")
+    val cand = keys.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1")), "id1")
+      .join(e.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("raw_c"))
+      .where(col("raw_c") >= threshold)
+      .select(col("id1"), col("id2"), round(col("raw_c"), 4).as("cosine"))
+  }
+
   /** Embedding-cosine near-dup via sign-LSH blocking + exact integer verify
     * (replaces the r1 all-pairs join — VERDICT.md next-steps #1).
     *

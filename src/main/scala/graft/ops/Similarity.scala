@@ -83,7 +83,7 @@ object Similarity {
     math.sqrt(s)
   }
 
-  private def isFloatVec(embs: DataFrame, vecCol: String): Boolean =
+  private[ops] def isFloatVec(embs: DataFrame, vecCol: String): Boolean =
     embs.schema(vecCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
       case _ => false

@@ -170,6 +170,25 @@ class OpsSpec extends SparkSpec {
     assertSameRows(Dedup.embeddingNearDupPairs(docs), Dedup.embeddingNearDupPairs(docs))
   }
 
+  test("float-embedding near-dup: LSH-blocked == exact all-pairs on planted dups") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val base = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(32)(rng.nextGaussian().toFloat)))
+    val dups = (0 until 20).map { i =>
+      (1000L + i, base(i * 7)._2.map(x => x + rng.nextGaussian().toFloat * 0.02f))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding").cache()
+    val blocked = Dedup.embeddingCosinePairs(df, threshold = 0.95)
+    val exact = Dedup.embeddingCosinePairsExact(df, threshold = 0.95)
+    assertSameRows(blocked, exact, "float lsh-blocked vs exact all-pairs")
+    assert(exact.count() >= 20, "planted dups present")
+    val p = blocked.queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(400))
+    df.unpersist()
+  }
+
   test("hash_embed/lsh_band_keys/dot_i64 kernels: deterministic + exact") {
     import graft.functions.HashingKernels
     val v1 = HashingKernels.embed("the quick brown fox jumps over the lazy dog", 64, 3)
