@@ -44,7 +44,8 @@ object SparkEntry {
     "q21_distinct" -> (Queries.q21Distinct _),
     "q22_emb_dedup" -> (Queries.q22EmbDedup _),
     "q23_multimodal" -> (Queries.q23Multimodal _),
-    "q24_bpe_tokens" -> (Queries.q24BpeTokens _)
+    "q24_bpe_tokens" -> (Queries.q24BpeTokens _),
+    "q25_ann_range" -> (Queries.q25AnnRange _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -208,6 +209,14 @@ object SparkEntry {
         |WHERE bit_count(xor(a.s, b.s)) <= 7""".stripMargin,
     "q14_ann_brute" -> annBruteSql,
     "q15_ann_ivf" -> annBruteSql,
+    "q25_ann_range" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |        list_dot_product(e.embedding::DOUBLE[], q.v)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q.v, q.v))) AS c
+        |      FROM embeddings e, q WHERE vec_id <> 0)
+        |SELECT vec_id, round(c, 4) AS cosine FROM s WHERE c >= 0.25""".stripMargin,
     "q16_langid" ->
       """SELECT lang,
         |  CASE WHEN len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is','over'))) * 1.0

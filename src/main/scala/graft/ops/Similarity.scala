@@ -242,4 +242,40 @@ object Similarity {
     val cached = index.persist()
     ivfSearch(cached, model, query, k, nProbe, excludeId, idCol, vecCol)
   }
+
+  /** The IVF buckets that can contain a vector with cosine ≥ t to `query`
+    * (triangle inequality: ‖qn−c_j‖ − radius_j ≤ √(2−2t)); exact. */
+  private[graft] def rangeBuckets(model: IvfModel, query: Array[Float],
+      threshold: Double): Seq[Int] = {
+    val qn = normalize(query.map(_.toDouble))
+    val dRad = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+    model.centroids.indices
+      .filter(j => l2(qn, model.centroids(j)) - model.radii(j) <= dRad)
+  }
+
+  /** Exact cosine range search over a prebuilt index: every vector with
+    * cosine ≥ threshold to the query. The bucket prune is exact (triangle
+    * inequality in normalized space), the filter is the same raw-double
+    * cosine expression as the brute-force oracle.
+    */
+  def rangeSearch(index: DataFrame, model: IvfModel, query: Array[Float],
+      threshold: Double, excludeId: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val buckets = rangeBuckets(model, query, threshold)
+    val scoped =
+      if (buckets.isEmpty) index.limit(0)
+      else index.where(col("cid").isin(buckets: _*))
+    val scored = cosineToQuery(scoped, query, idCol, vecCol)
+    val base = excludeId.fold(scored)(i => scored.where(col(idCol) =!= i))
+    base.where(col("cosine") >= threshold)
+      .select(col(idCol), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Build + range search in one call (q25). */
+  def ivfRangeSearch(embs: DataFrame, query: Array[Float], threshold: Double,
+      nlist: Int = 64, excludeId: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (index, model) = buildIvfIndex(embs, nlist, idCol = idCol, vecCol = vecCol)
+    rangeSearch(index, model, query, threshold, excludeId, idCol, vecCol)
+  }
 }

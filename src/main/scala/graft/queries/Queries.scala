@@ -212,6 +212,13 @@ object Queries {
   def q22EmbDedup(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Dedup.embeddingNearDupPairs(table(spark, sfDir, "documents"))
 
+  /** q25: exact cosine range search (every vector with cosine ≥ 0.25 to the
+    * query) through the IVF index's triangle-inequality bucket prune.
+    */
+  def q25AnnRange(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Similarity.ivfRangeSearch(table(spark, sfDir, "embeddings"),
+      queryVec(spark, sfDir, 0L), threshold = 0.25, nlist = 64, excludeId = Some(0L))
+
   /** q24: BPE-ish token accounting (letter/digit runs + punctuation marks),
     * the subword-budget twin of q18's whitespace counts.
     */

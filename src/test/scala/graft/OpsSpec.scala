@@ -137,6 +137,26 @@ class OpsSpec extends SparkSpec {
     cached.unpersist(); df.unpersist()
   }
 
+  test("IVF range search: exact results, bucket prune active on clusters") {
+    import spark.implicits._
+    val pts = clusteredVecs(16, 15, 8)
+    val df = pts.toDF("vec_id", "embedding").cache()
+    val q = pts(3 * 15 + 2)._2.toArray
+    val (index, model) = Similarity.buildIvfIndex(df, nlist = 16)
+    val cached = index.cache()
+    // exact: equals the brute-force cosine filter
+    val got = Similarity.rangeSearch(cached, model, q, threshold = 0.9)
+    val want = Similarity.cosineToQuery(df, q)
+      .where(col("cosine") >= 0.9)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    assertSameRows(got, want, "range search vs brute filter")
+    assert(want.count() >= 15, "the query's blob qualifies")
+    // prune: only a few of 16 buckets can contain cosine >= 0.9 matches
+    val buckets = Similarity.rangeBuckets(model, q, 0.9)
+    assert(buckets.size < 8, s"buckets=$buckets")
+    cached.unpersist(); df.unpersist()
+  }
+
   test("IVF persisted index: partition-pruned probe equals brute force") {
     import spark.implicits._
     val pts = clusteredVecs(16, 15, 8)
