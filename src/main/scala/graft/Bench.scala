@@ -8,7 +8,7 @@ import graft.source.TranscriptGen.GenConfig
 
 /** Benchmark main. Prints ONE JSON line:
   *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
-  *    "cdc_turns_per_sec":T,"cdc_events":E,"cpus":C}
+  *    "cdc_turns_per_sec":T,"cdc_events":E,"cpus":C, ...}
   *
   * Two parts:
   *   1. the SparkEntry query battery on SPARK_GRAFT_SF_DIR (judge-visible
@@ -17,31 +17,52 @@ import graft.source.TranscriptGen.GenConfig
   *      incremental CDC replay on a deterministic transcript table
   *      (seed=42, zipf skew), end-to-end through the exactly-once sink.
   *
+  * The CDC number is a MEDIAN of `SPARK_GRAFT_BENCH_REPS` (default 3)
+  * repetitions; per-rep values ship in the JSON (`cdc_reps_tps`) together
+  * with the one-time table-generation seconds (`cdc_gen_sec`) and an
+  * ALU load canary (`alu_giters_per_sec`: seeded LCG burn on all cores,
+  * a box-speed constant ≈2.4 Giters/s/core-free on this class of machine) —
+  * so a run on a loaded box is diagnosable from the artifact alone
+  * (r2: the driver measured 11k turns/s while same-config sessions measured
+  * 84–98k; every unchanged query drifted 1.6–1.9× the same day).
+  *
   * Scaling-efficiency evidence (local[8] vs local[32]) is produced by
   * graft.ScalingBench → BENCH/BASELINE.md (a fresh JVM per parallelism
   * level so executor-thread counts are honest).
   */
 object Bench {
 
-  /** Sustained CDC replay throughput. The table layout (file counts, batch
-    * boundaries) is FIXED — independent of core count — so two parallelism
-    * levels process byte-identical batches and the comparison isolates
-    * compute scaling. The table dir is content-addressed by config and
-    * shared across runs/levels.
+  /** Write (or reuse) the content-addressed transcript change table.
+    * The table layout (file counts, batch boundaries) is FIXED —
+    * independent of core count — so two parallelism levels process
+    * byte-identical batches. Returns (tableDir, generationSeconds:
+    * 0.0 when the cached table is reused).
     */
-  def cdcThroughput(spark: SparkSession, numConvs: Int, avgTurns: Int,
-      workRoot: String, analytics: Boolean = false,
-      zipf: Double = 1.1): (Double, Long) = {
+  def ensureTable(spark: SparkSession, numConvs: Int, avgTurns: Int,
+      workRoot: String, zipf: Double): (String, Double) = {
     val cfg = GenConfig(numConvs = numConvs, avgTurns = avgTurns, seed = 42L,
       zipf = zipf, changeFiles = 4, changeEventsPerTurn = 0.3,
       malformedFrac = 0.01, schemaChangeFrac = 0.01)
     val tableDir = s"$workRoot/table-$numConvs-$avgTurns-z$zipf"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$tableDir/_done")
-    if (!fs.exists(marker)) {
+    if (fs.exists(marker)) (tableDir, 0.0)
+    else {
+      val t0 = System.nanoTime()
       TranscriptGen.writeTable(spark, cfg, tableDir, filesPerSegment = 32)
       fs.createNewFile(marker)
+      (tableDir, (System.nanoTime() - t0) / 1e9)
     }
+  }
+
+  /** One timed snapshot+incremental replay through the exactly-once sink
+    * (optionally plus the full analytics pass). Spooling and the input
+    * count happen OUTSIDE the timed window. Returns (turns/sec, events,
+    * replaySeconds).
+    */
+  def replayOnce(spark: SparkSession, tableDir: String, workRoot: String,
+      analytics: Boolean = false): (Double, Long, Double) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val runId = System.nanoTime()
     val streamDir = s"$workRoot/stream-$runId"
     val outDir = s"$workRoot/out-$runId"
@@ -52,27 +73,47 @@ object Bench {
     val t0 = System.nanoTime()
     val q = CdcPipeline.start(spark, streamDir, outDir, ckDir, maxFilesPerTrigger = 48)
     q.awaitTermination()
-    if (analytics) {
-      // the full engine pass over the replayed log: CEP state machines,
-      // sessionization, stream-stream-equivalent join, LWW materialization —
-      // the compute the engine exists to do, all inside the timed window
-      val sink = new graft.sink.ExactlyOnceSink(spark, outDir)
-      val turns = graft.pipeline.Windows
-        .turnsFromEvents(sink.readCommitted("events").get).cache()
-      def noop(df: org.apache.spark.sql.DataFrame): Unit =
-        df.write.format("noop").mode("overwrite").save()
-      noop(graft.pipeline.Cep.detect(turns, streaming = false).toDF())
-      noop(graft.pipeline.Windows.session(turns, "30 minutes"))
-      noop(graft.pipeline.Windows.tumbling(turns, "1 hour"))
-      noop(graft.pipeline.Joins.toolCallResponse(turns))
-      noop(CdcPipeline.stableOrdered(CdcPipeline.materialize(spark, outDir)).toDF())
-      turns.unpersist()
-    }
+    if (analytics) runAnalyticsPass(spark, outDir)
     val sec = (System.nanoTime() - t0) / 1e9
     fs.delete(new org.apache.hadoop.fs.Path(streamDir), true)
     fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
     fs.delete(new org.apache.hadoop.fs.Path(ckDir), true)
-    (n / sec, n)
+    (n / sec, n, sec)
+  }
+
+  /** The full engine pass over a replayed log: CEP state machines,
+    * sessionization, stream-stream-equivalent join, LWW materialization —
+    * the compute the engine exists to do.
+    */
+  def runAnalyticsPass(spark: SparkSession, outDir: String): Unit = {
+    val sink = new graft.sink.ExactlyOnceSink(spark, outDir)
+    val turns = graft.pipeline.Windows
+      .turnsFromEvents(sink.readCommitted("events").get).cache()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    noop(graft.pipeline.Cep.detect(turns, streaming = false).toDF())
+    noop(graft.pipeline.Windows.session(turns, "30 minutes"))
+    noop(graft.pipeline.Windows.tumbling(turns, "1 hour"))
+    noop(graft.pipeline.Joins.toolCallResponse(turns))
+    noop(CdcPipeline.stableOrdered(CdcPipeline.materialize(spark, outDir)).toDF())
+    turns.unpersist()
+    ()
+  }
+
+  /** Sustained CDC replay throughput, single rep (ScalingBench entry). */
+  def cdcThroughput(spark: SparkSession, numConvs: Int, avgTurns: Int,
+      workRoot: String, analytics: Boolean = false,
+      zipf: Double = 1.1): (Double, Long) = {
+    val (tableDir, _) = ensureTable(spark, numConvs, avgTurns, workRoot, zipf)
+    val (tps, n, _) = replayOnce(spark, tableDir, workRoot, analytics)
+    (tps, n)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -103,15 +144,33 @@ object Bench {
     // overhead-bound and insensitive to core count)
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "50000").toInt
     val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "20").toInt
-    val (tps, nEvents) = cdcThroughput(spark, benchConvs, benchTurns, "/tmp/graft-bench")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val (tableDir, genSec) =
+      ensureTable(spark, benchConvs, benchTurns, "/tmp/graft-bench", zipf = 1.1)
+    val runs = (1 to reps).map { r =>
+      val (tps, n, sec) = replayOnce(spark, tableDir, "/tmp/graft-bench")
+      System.err.println(f"[bench] cdc rep=$r tps=$tps%.0f replay=$sec%.1fs events=$n")
+      (tps, n, sec)
+    }
+    val tpsMedian = median(runs.map(_._1))
+    val nEvents = runs.head._2
+
+    // box-load canary: pure-register LCG burn on all cores; a loaded box
+    // shows proportionally fewer Giters/s (compare across rounds).
+    val aluItersPerThread = 500000000L
+    val aluT0 = System.nanoTime()
+    val alu = ScalingBench.lcgBurn(cpus, aluItersPerThread) / 1e9
+    System.err.println(f"[bench] alu canary: $alu%.2f Giters/s over ${(System.nanoTime() - aluT0) / 1e9}%.1fs")
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val repsTps = runs.map(r => f"${r._1}%.0f").mkString("[", ",", "]")
+    val repsSec = runs.map(r => f"${r._3}%.2f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cdc_turns_per_sec":$tps%.0f,"cdc_events":$nEvents,"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cdc_turns_per_sec":$tpsMedian%.0f,"cdc_reps_tps":$repsTps,"cdc_reps_replay_sec":$repsSec,"cdc_gen_sec":$genSec%.1f,"cdc_events":$nEvents,"alu_giters_per_sec":$alu%.2f,"cpus":$cpus}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(3)
   }

@@ -66,6 +66,7 @@ object Main {
           case "jsonl" => sink.Export.jsonl(spark, s"$workDir/out", dest, compression)
           case "avro" => sink.Export.avro(spark, s"$workDir/out", dest, compression)
           case "dlq" => sink.Export.dlq(spark, s"$workDir/out", dest)
+          case "schema" => sink.Export.schemaChanges(spark, s"$workDir/out", dest)
           case other => System.err.println(s"unknown format $other"); sys.exit(2)
         }
         println(s"[export] $fmt ($compression) -> $dest")
@@ -78,14 +79,27 @@ object Main {
           case Right(cfg) =>
             require(cfg.tableDir.nonEmpty && cfg.workDir.nonEmpty,
               "pipeline needs tableDir=... and workDir=...")
+            cfg.validateEnvironment(spark.sparkContext.hadoopConfiguration) match {
+              case Left(err) =>
+                System.err.println(s"[pipeline] environment error: $err"); sys.exit(2)
+              case Right(_) =>
+            }
             sys.props("graft.latencyAlertMs") = cfg.latencyAlertMs.toString
             val streamDir = s"${cfg.workDir}/stream"
+            val outDir = s"${cfg.workDir}/out"
             ChangeStreamReader.deliverChanges(spark, cfg.tableDir, streamDir)
             ChangeStreamReader.spoolSnapshot(spark, cfg.tableDir, streamDir)
+            // continuous mode (reference deployment shape): periodic
+            // micro-batches at the env's checkpoint interval, restart budget
+            // refilled on progress; available mode: drain and stop.
+            val outSink = new sink.ExactlyOnceSink(spark, outDir)
             val restarts = CdcPipeline.runWithRestarts(
-              () => CdcPipeline.start(spark, streamDir, s"${cfg.workDir}/out",
-                s"${cfg.workDir}/checkpoint", cfg.maxFilesPerTrigger, tables = cfg.tables),
-              cfg.restartAttempts, cfg.restartDelayMs)
+              () => CdcPipeline.start(spark, streamDir, outDir,
+                s"${cfg.workDir}/checkpoint", cfg.maxFilesPerTrigger,
+                trigger = CdcPipeline.triggerFor(cfg), tables = cfg.tables,
+                maxRecordsPerFile = cfg.sinkMaxRecordsPerFile),
+              cfg.restartAttempts, cfg.restartDelayMs,
+              progress = () => outSink.committedBatchIds.size.toLong)
             if (restarts > 0) println(s"[pipeline] recovered after $restarts restart(s)")
             val n = ChangeStreamReader.batch(spark, streamDir).count()
             println(s"[pipeline] env=${cfg.env} events=$n tables=${

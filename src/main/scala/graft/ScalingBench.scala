@@ -25,7 +25,10 @@ object ScalingBench {
 
   /** One measured run. mode "executors": `level` separate 2-core executor
     * JVMs (local-cluster — the faithful N-executor emulation); mode
-    * "threads": local[level] (all cores share one JVM + one GC).
+    * "threads": local[level] (all cores share one JVM + one GC); mode
+    * "compute": local[level] timing ONLY the analytics pass over a
+    * pre-replayed committed log (no stream/sink I/O in the window) — the
+    * most compute-bound slice of the engine (VERDICT r2 #9).
     */
   def runLevel(mode: String, level: Int, numConvs: Int, avgTurns: Int,
       zipf: Double): (Double, Long) = {
@@ -33,9 +36,46 @@ object ScalingBench {
       case "executors" => GraftSession.cluster(level, 2, 4096, s"graft-scaling-x$level")
       case _ => GraftSession.local(level, s"graft-scaling-$level")
     }
-    try Bench.cdcThroughput(spark, numConvs, avgTurns, "/tmp/graft-scaling",
-      analytics = true, zipf = zipf)
-    finally spark.stop()
+    try mode match {
+      case "compute" =>
+        computeThroughput(spark, numConvs, avgTurns, "/tmp/graft-scaling", zipf)
+      case _ =>
+        Bench.cdcThroughput(spark, numConvs, avgTurns, "/tmp/graft-scaling",
+          analytics = true, zipf = zipf)
+    } finally spark.stop()
+  }
+
+  /** Analytics-only throughput: replay the change stream ONCE into a shared
+    * committed log (content-addressed — the first child, always the 2-core
+    * level under the interleaved protocol, creates it, so every level reads
+    * byte-identical files), then time the full engine pass (CEP,
+    * sessionization, tumbling windows, tool-call join, LWW materialization)
+    * over it.
+    */
+  def computeThroughput(spark: org.apache.spark.sql.SparkSession, numConvs: Int,
+      avgTurns: Int, workRoot: String, zipf: Double): (Double, Long) = {
+    val (tableDir, _) = Bench.ensureTable(spark, numConvs, avgTurns, workRoot, zipf)
+    val outDir = s"$workRoot/replayed-$numConvs-$avgTurns-z$zipf"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$outDir/_replayed")
+    if (!fs.exists(marker)) {
+      val streamDir = s"$workRoot/stream-prep-$numConvs-$avgTurns-z$zipf"
+      val ckDir = s"$workRoot/ck-prep-$numConvs-$avgTurns-z$zipf"
+      graft.source.ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+      graft.source.ChangeStreamReader.spoolSnapshot(spark, tableDir, streamDir, numFiles = 64)
+      graft.pipeline.CdcPipeline
+        .start(spark, streamDir, outDir, ckDir, maxFilesPerTrigger = 48)
+        .awaitTermination()
+      fs.delete(new org.apache.hadoop.fs.Path(streamDir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckDir), true)
+      fs.createNewFile(marker)
+    }
+    val sink = new graft.sink.ExactlyOnceSink(spark, outDir)
+    val n = sink.readCommitted("events").get.count()
+    val t0 = System.nanoTime()
+    Bench.runAnalyticsPass(spark, outDir)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (n / sec, n)
   }
 
   /** Raw-ALU control: `threads` threads × `iters` LCG iterations each.
@@ -214,14 +254,23 @@ object ScalingBench {
           f"BENCH/EXECUTORS.md (separate-executor-JVM emulation: same ~2× at 4N, " +
           f"loopback-shuffle collapse at 16N) and BENCH/SKEW.md.**"
 
+    val jobDesc =
+      if (mode == "compute")
+        """Analytics-only engine pass — CEP state machines, session/tumbling
+          |windows, tool-call stream join, LWW materialization over a
+          |PRE-REPLAYED committed log; no stream ingestion or sink commit I/O
+          |inside the timed window (the most compute-bound slice of the
+          |engine, VERDICT r2 #9)""".stripMargin.replace("\n", " ")
+      else
+        """Same job — snapshot+incremental CDC replay through the exactly-once sink
+          |PLUS the full engine pass (CEP state machines, session/tumbling windows,
+          |tool-call stream join, LWW materialization)""".stripMargin.replace("\n", " ")
     val report =
-      f"""# BENCH — measured results
+      f"""# BENCH — measured results${if (mode == "compute") " (analytics-only pass)" else ""}
          |
-         |## End-to-end throughput scaling (north-rule criterion)
+         |## ${if (mode == "compute") "Analytics-only" else "End-to-end"} throughput scaling (north-rule criterion)
          |
-         |Same job — snapshot+incremental CDC replay through the exactly-once sink
-         |PLUS the full engine pass (CEP state machines, session/tumbling windows,
-         |tool-call stream join, LWW materialization) — on byte-identical input
+         |$jobDesc — on byte-identical input
          |and batch boundaries (seed=42, zipf=$zipf, $numConvsR%,d conversations,
          |$nEvents%,d change events incl. snapshot reads). Protocol: $reps
          |repetitions per level, fully interleaved (2,8,32, 2,8,32, …), fresh JVM
@@ -274,7 +323,8 @@ object ScalingBench {
          |""".stripMargin
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), report)
+    java.nio.file.Files.writeString(
+      dir.resolve(if (mode == "compute") "COMPUTE.md" else "BASELINE.md"), report)
     println(report)
     println(f"""{"scaling_efficiency":$eff28%.3f,"mode":"$mode","tpsN":${med(l0)}%.0f,"tps4N":${med(l1)}%.0f,"tps16N":${med(l2c)}%.0f,"eff_8_32":$eff832%.3f,"reps":$reps,"zipf":$zipf,"alu_eff_2_8":$ctrlEff28%.3f,"alu_eff_8_32":$ctrlEff832%.3f,"mem_eff_2_8":$memEff28%.3f,"mem_eff_8_32":$memEff832%.3f}""")
   }

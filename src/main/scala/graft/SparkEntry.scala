@@ -55,7 +55,8 @@ object SparkEntry {
   private val ngramJaccardSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
-      |      FROM t, (SELECT unnest(generate_series(1, 4000)) AS i) s
+      |      FROM t, (SELECT unnest(generate_series(1,
+      |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
       |      WHERE i <= len(w) - 2),
       |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
       |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
@@ -71,13 +72,20 @@ object SparkEntry {
     * dots, rational threshold), so the oracle reproduces the ENTIRE
     * pipeline — embedding, banding, candidate join, exact verify — with
     * zero cross-engine FP ambiguity. Constants must match the Scala
-    * defaults: dims=256, n=3, bands=40, bitsPerBand=12 (planes 0..479),
-    * threshold 4/5 (⇔ 25·dot² ≥ 16·|a|²·|b|², dot > 0).
+    * defaults: dims=256, n=3, bitsPerBand=12 with bands auto-sized from
+    * the threshold — lshBandsFor(4/5, 12) = 105, planes 0..1259 (a
+    * SparkEntrySpec test pins the 105) — threshold 4/5
+    * (⇔ 25·dot² ≥ 16·|a|²·|b|², dot > 0). The candidate banding is
+    * mirrored too, so the oracle checks the emitted pairs bit-for-bit; the
+    * recall bound at the threshold (≤10⁻³ miss) is enforced by sizing and
+    * pinned against the exact all-pairs sweep in OpsSpec, outside this
+    * mirrored check.
     */
   private val embDedupSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
-      |      FROM t, (SELECT unnest(generate_series(1, 4000)) AS i) s
+      |      FROM t, (SELECT unnest(generate_series(1,
+      |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
       |      WHERE i <= len(w) - 2),
       |gd AS (SELECT doc_id,
       |         CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 256 AS BIGINT) AS dim,
@@ -88,7 +96,7 @@ object SparkEntry {
       |hp AS (SELECT p, d,
       |         CASE WHEN ('0x' || substr(md5('h:' || p || ':' || d), 1, 1))::UBIGINT % 2 = 0
       |              THEN 1 ELSE -1 END AS hs
-      |       FROM (SELECT unnest(generate_series(0, 479)) AS p),
+      |       FROM (SELECT unnest(generate_series(0, 1259)) AS p),
       |            (SELECT unnest(generate_series(0, 255)) AS d)),
       |bits AS (SELECT doc_id, p, CASE WHEN SUM(v * hs) > 0 THEN 1 ELSE 0 END AS bit
       |         FROM sp JOIN hp ON sp.dim = hp.d GROUP BY doc_id, p),
@@ -206,7 +214,7 @@ object SparkEntry {
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.s, b.s)) <= 7""".stripMargin,
+        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
     "q14_ann_brute" -> annBruteSql,
     "q15_ann_ivf" -> annBruteSql,
     "q25_ann_range" ->
@@ -229,8 +237,11 @@ object SparkEntry {
          |SELECT source, round(avg(round($qualityExpr, 4)), 4) AS avg_quality,
          |  count(*) AS n_docs
          |FROM t GROUP BY source""".stripMargin,
+    // sum() over integers is HUGEINT (INT128) in DuckDB — cast to BIGINT so
+    // the driver's type-sensitive hash matches Spark's LongType (r2 verdict
+    // root cause: values matched, physical types did not).
     "q18_tokens" ->
-      """SELECT source, sum(len(string_split(text,' '))) AS total_tokens,
+      """SELECT source, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
         |  CAST(max(len(string_split(text,' '))) AS BIGINT) AS max_tokens
         |FROM documents GROUP BY source""".stripMargin,
     // q19 mirror: rolling polynomial fingerprint over md5 token hashes in
@@ -256,9 +267,19 @@ object SparkEntry {
     "q22_emb_dedup" -> embDedupSql,
     "q24_bpe_tokens" ->
       """SELECT source,
-        |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe,
         |  CAST(max(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS max_bpe
-        |FROM documents GROUP BY source""".stripMargin
-    // q23_multimodal: mapPartitions decode stub → rows-only
+        |FROM documents GROUP BY source""".stripMargin,
+    // q23 mirror: modality routing, payload byte counts, and frame sampling
+    // are pure integer arithmetic over the UTF-8 text payload
+    // (Multimodal.mediaFromDocuments / sampleFrames); the float feature
+    // fold (avg_f0) is decode-stub-specific and covered by OpsSpec instead.
+    "q23_multimodal" ->
+      """SELECT CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  count(*) AS n_media,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  CAST(sum(((octet_length(encode(text)) // 64) + 3) // 4) AS BIGINT) AS total_frames
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }

@@ -10,6 +10,7 @@ package graft.config
   */
 final case class AppConfig(
     env: String = "local",
+    mode: String = "available",
     parallelism: Int = Runtime.getRuntime.availableProcessors(),
     checkpointIntervalSec: Int = 30,
     maxFilesPerTrigger: Int = 48,
@@ -23,14 +24,62 @@ final case class AppConfig(
     latencyAlertMs: Long = 10000L,
     tables: Seq[String] = Nil,
     restartAttempts: Int = 3,
-    restartDelayMs: Long = 10000L
+    restartDelayMs: Long = 10000L,
+    /** Sink file rolling: max records per committed parquet file (0 =
+      * no cap). ≙ reference rolling policy by size/interval
+      * (sink/S3Sink.scala:116-120,262-293) — recast as Spark's native
+      * per-file record cap; the reference's "128MB"/"5min" string forms
+      * parse through `rollingFileSize`/`rollingInterval` below.
+      */
+    sinkMaxRecordsPerFile: Long = 0L,
+    rollingFileSize: String = "128MB",
+    rollingInterval: String = "5min"
 ) {
+  def rollingFileSizeBytes: Long = graft.sink.Export.parseSizeBytes(rollingFileSize)
+  def rollingIntervalMs: Long = graft.sink.Export.parseTimeToMillis(rollingInterval)
+
+  /** Probe the storage paths before starting the job (≙ reference
+    * validation/EnvironmentValidator.scala:133-162, which checks cloud
+    * paths/credentials up front): tableDir must exist, workDir must be
+    * creatable AND writable (probe file create + delete). URI-scheme
+    * agnostic — the same probe works for file://, hdfs://, s3a://.
+    */
+  def validateEnvironment(
+      hadoopConf: org.apache.hadoop.conf.Configuration): Either[String, Unit] =
+    try {
+      val tableOk =
+        if (tableDir.isEmpty) Right(())
+        else {
+          val p = new org.apache.hadoop.fs.Path(tableDir)
+          if (p.getFileSystem(hadoopConf).exists(p)) Right(())
+          else Left(s"tableDir does not exist: $tableDir")
+        }
+      tableOk.flatMap { _ =>
+        if (workDir.isEmpty) Right(())
+        else {
+          val p = new org.apache.hadoop.fs.Path(workDir)
+          val fs = p.getFileSystem(hadoopConf)
+          fs.mkdirs(p)
+          val probe = new org.apache.hadoop.fs.Path(
+            p, s".probe-${java.util.UUID.randomUUID()}")
+          val out = fs.create(probe, true)
+          out.write(1); out.close()
+          fs.delete(probe, false)
+          Right(())
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"environment validation failed for '$workDir': ${e.getMessage}")
+    }
   /** ≙ reference AppConfig.validateConfiguration (AppConfig.scala:259-273)
     * + the format/compression whitelist of
     * validation/EnvironmentValidator.scala:110-119.
     */
   def validate(): Either[String, AppConfig] = {
     if (!AppConfig.Envs.contains(env)) Left(s"unknown env '$env' (${AppConfig.Envs.mkString("/")})")
+    else if (!AppConfig.Modes.contains(mode))
+      Left(s"unknown mode '$mode' (${AppConfig.Modes.mkString("/")})")
     else if (parallelism < 1) Left("parallelism must be >= 1")
     else if (checkpointIntervalSec < 1) Left("checkpoint interval must be >= 1s")
     else if (maxFilesPerTrigger < 1) Left("maxFilesPerTrigger must be >= 1")
@@ -47,6 +96,15 @@ final case class AppConfig(
 object AppConfig {
 
   val Envs = Set("local", "dev", "staging", "prod")
+
+  /** `available` = drain currently-available input and stop
+    * (Trigger.AvailableNow — the bounded-replay mode every test and bench
+    * uses); `continuous` = the reference's actual deployment mode: periodic
+    * micro-batches every `checkpointIntervalSec` seconds
+    * (Trigger.ProcessingTime ≙ reference env-specific checkpoint interval,
+    * main.scala:251,271,291,315).
+    */
+  val Modes = Set("available", "continuous")
 
   /** Per-env defaults (≙ reference main.scala:247,267,287,311 parallelism
     * 1/1/2/2, checkpoint 30/45/60/60 s, and fixed-delay restart strategy
@@ -88,11 +146,14 @@ object AppConfig {
       val Array(k, v) = a.split("=", 2); k -> substitute(v, getenv)
     }.toMap
     def raw(k: String): Option[String] = cli.get(k).orElse(props.get(s"graft.$k"))
-    val envPre = raw("env").getOrElse("local")
+    // env is resolved AFTER reading application.properties, so a
+    // file-declared env loads its own {env}.properties layer (ADVICE r2:
+    // resolving from CLI/sysprops only skipped that layer).
     val fileLayer: Map[String, String] = raw("configDir") match {
       case Some(dir) if dir.nonEmpty =>
         val base = loadPropsFile(java.nio.file.Paths.get(dir, "application.properties"))
-        val perEnv = loadPropsFile(java.nio.file.Paths.get(dir, s"$envPre.properties"))
+        val envEff = raw("env").orElse(base.get("env")).getOrElse("local")
+        val perEnv = loadPropsFile(java.nio.file.Paths.get(dir, s"$envEff.properties"))
         (base ++ perEnv).map { case (k, v) => k -> substitute(v, getenv) }
       case _ => Map.empty
     }
@@ -103,6 +164,7 @@ object AppConfig {
       envDefaults.getOrElse(env, (8, 30, 3, 10000L))
     val cfg = AppConfig(
       env = env,
+      mode = get("mode").getOrElse("available"),
       parallelism = get("parallelism").map(_.toInt).getOrElse(defPar),
       checkpointIntervalSec = get("checkpointIntervalSec").map(_.toInt).getOrElse(defCk),
       maxFilesPerTrigger = get("maxFilesPerTrigger").map(_.toInt).getOrElse(48),
@@ -116,7 +178,10 @@ object AppConfig {
       latencyAlertMs = get("latencyAlertMs").map(_.toLong).getOrElse(10000L),
       tables = get("tables").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
       restartAttempts = get("restartAttempts").map(_.toInt).getOrElse(defRestarts),
-      restartDelayMs = get("restartDelayMs").map(_.toLong).getOrElse(defDelay)
+      restartDelayMs = get("restartDelayMs").map(_.toLong).getOrElse(defDelay),
+      sinkMaxRecordsPerFile = get("sinkMaxRecordsPerFile").map(_.toLong).getOrElse(0L),
+      rollingFileSize = get("rollingFileSize").getOrElse("128MB"),
+      rollingInterval = get("rollingInterval").getOrElse("5min")
     )
     cfg.validate()
   }

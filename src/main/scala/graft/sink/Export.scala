@@ -56,6 +56,33 @@ object Export {
       "avro supports none/gzip/snappy (lz4 is parquet/json-only here)")
   }
 
+  /** "5min"/"30sec"/"500ms" → millis (≙ reference parseTimeToMillis,
+    * sink/S3Sink.scala:262-275: same units, same 5-minute default on
+    * anything unparseable; whitespace additionally tolerated).
+    */
+  def parseTimeToMillis(timeStr: String): Long = {
+    val p = """(\d+)\s*(min|sec|ms)""".r
+    timeStr.toLowerCase.trim match {
+      case p(v, "min") => v.toLong * 60000L
+      case p(v, "sec") => v.toLong * 1000L
+      case p(v, "ms") => v.toLong
+      case _ => 5L * 60000L
+    }
+  }
+
+  /** "128MB"/"2GB"/"64KB" → bytes (≙ reference parseMemorySize,
+    * S3Sink.scala:280-293: same units, same 128 MB default).
+    */
+  def parseSizeBytes(sizeStr: String): Long = {
+    val p = """(\d+)\s*(MB|GB|KB)""".r
+    sizeStr.toUpperCase.trim match {
+      case p(v, "MB") => v.toLong << 20
+      case p(v, "GB") => v.toLong << 30
+      case p(v, "KB") => v.toLong << 10
+      case _ => 128L << 20
+    }
+  }
+
   /** Committed data events → JSONL, time-bucket partitioned.
     * `maxRecordsPerFile` is the size-based rolling control (≙ reference
     * sink/S3Sink.scala:262-293 rolling policy, recast as Spark's native
@@ -76,14 +103,65 @@ object Export {
       .partitionBy("p_date").json(dest)
   }
 
+  /** Write one partition's rows as a staged Avro file; records that fail to
+    * encode fall back to a raw-JSON sidecar instead of failing the task
+    * (≙ reference S3Sink.scala:408-415, which drops the raw JSON bytes into
+    * the output stream on encode failure — recast to a sidecar file so the
+    * Avro container itself stays well-formed). Returns (encoded, fellBack).
+    */
+  private[graft] def writeAvroPart(rows: Iterator[org.apache.spark.sql.Row],
+      schemaStr: String, fs: org.apache.hadoop.fs.FileSystem,
+      avroPath: org.apache.hadoop.fs.Path,
+      fallbackPath: org.apache.hadoop.fs.Path, codec: String): (Long, Long) = {
+    val schema = new Schema.Parser().parse(schemaStr)
+    val out = fs.create(avroPath, true)
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    codec match {
+      case "gzip" => writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      case "snappy" => writer.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+      case _ =>
+    }
+    writer.create(schema, out)
+    var fallback: java.io.OutputStream = null
+    var nOk = 0L
+    var nFb = 0L
+    rows.foreach { r =>
+      try {
+        val rec = new GenericData.Record(schema)
+        rec.put("table_name", r.getAs[String]("table_name"))
+        rec.put("operation", r.getAs[String]("operation"))
+        rec.put("timestamp", r.getAs[Long]("timestamp"))
+        rec.put("before", r.getAs[String]("before"))
+        rec.put("after", r.getAs[String]("after"))
+        rec.put("source", r.getAs[String]("source"))
+        rec.put("processing_time", r.getAs[Long]("processing_time"))
+        rec.put("pipeline_version", r.getAs[String]("pipeline_version"))
+        rec.put("data_quality_score", r.getAs[Double]("data_quality_score"))
+        writer.append(rec)
+        nOk += 1
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          if (fallback == null) fallback = fs.create(fallbackPath, true)
+          val raw = Option(r.getAs[String]("_raw_json")).getOrElse(r.toString)
+          fallback.write((raw + "\n").getBytes("UTF-8"))
+          nFb += 1
+      }
+    }
+    writer.close()
+    if (fallback != null) fallback.close()
+    (nOk, nFb)
+  }
+
   /** Committed data events → Avro (reference-shaped flat record).
     *
-    * Write protocol (task-retry/replay safe): every task writes
-    * `.staging-parts/part-<partitionId>.avro` with overwrite — a retried or
-    * speculative attempt of the same partition lands on the same name — and
-    * the driver publishes the staging dir by clearing stale part files and
-    * renaming the staged ones in. A crash mid-publish leaves either the old
-    * or the new file per partition, never a duplicate record.
+    * Write protocol (task-retry/speculation/replay safe): every task
+    * attempt writes `.staging-parts/part-<pid>-a<attemptId>.avro` —
+    * attempt-unique names, so concurrent speculative attempts never share a
+    * file — and the driver promotes ONE winning attempt per partition,
+    * publishing per partition as delete+rename of that partition's file
+    * only. A crash mid-publish leaves every partition with either its old
+    * or its new file, never neither and never a duplicate. Stale partitions
+    * from a previous wider run are swept only after all renames land.
     */
   def avro(spark: SparkSession, workOut: String, dest: String,
       compression: String = "none"): Unit = {
@@ -101,6 +179,11 @@ object Export {
       unix_millis(col("processing_timestamp")).as("processing_time"),
       col("pipeline_version"),
       col("data_quality_score"))
+      // raw-JSON twin of the record, used only by the encode-failure path
+      .withColumn("_raw_json", to_json(struct(
+        col("table_name"), col("operation"), col("timestamp"), col("before"),
+        col("after"), col("source"), col("processing_time"),
+        col("pipeline_version"), col("data_quality_score"))))
     val schemaStr = avroSchemaJson
     val destDir = dest
     val stagingDir = s"$dest/.staging-parts"
@@ -108,47 +191,52 @@ object Export {
     flat.repartition(math.max(2, spark.sparkContext.defaultParallelism))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
-          val schema = new Schema.Parser().parse(schemaStr)
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val part = f"part-$pid%05d.avro"
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val att = tc.taskAttemptId()
           val fs = org.apache.hadoop.fs.FileSystem.get(
             new java.net.URI(destDir), new org.apache.hadoop.conf.Configuration())
           fs.mkdirs(new org.apache.hadoop.fs.Path(stagingDir))
-          val out = fs.create(new org.apache.hadoop.fs.Path(s"$stagingDir/$part"), true)
-          val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-          codec match {
-            case "gzip" => writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-            case "snappy" => writer.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
-            case _ =>
-          }
-          writer.create(schema, out)
-          it.foreach { r =>
-            val rec = new GenericData.Record(schema)
-            rec.put("table_name", r.getAs[String]("table_name"))
-            rec.put("operation", r.getAs[String]("operation"))
-            rec.put("timestamp", r.getAs[Long]("timestamp"))
-            rec.put("before", r.getAs[String]("before"))
-            rec.put("after", r.getAs[String]("after"))
-            rec.put("source", r.getAs[String]("source"))
-            rec.put("processing_time", r.getAs[Long]("processing_time"))
-            rec.put("pipeline_version", r.getAs[String]("pipeline_version"))
-            rec.put("data_quality_score", r.getAs[Double]("data_quality_score"))
-            writer.append(rec)
-          }
-          writer.close()
+          writeAvroPart(it, schemaStr, fs,
+            new org.apache.hadoop.fs.Path(f"$stagingDir/part-$pid%05d-a$att.avro"),
+            new org.apache.hadoop.fs.Path(f"$stagingDir/part-$pid%05d-a$att.fallback.jsonl"),
+            codec)
+          ()
         }
       }
-    // publish: drop stale part files, then rename the staged ones in
+    // promote one winning attempt per partition, publish per partition
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(destDir), spark.sparkContext.hadoopConfiguration)
     val stPath = new org.apache.hadoop.fs.Path(stagingDir)
+    val stagedName = """part-(\d+)-a(\d+)\.avro""".r
     val staged =
       if (fs.exists(stPath)) fs.globStatus(new org.apache.hadoop.fs.Path(s"$stagingDir/part-*.avro"))
       else Array.empty[org.apache.hadoop.fs.FileStatus]
-    fs.globStatus(new org.apache.hadoop.fs.Path(s"$destDir/part-*.avro"))
-      .foreach(s => fs.delete(s.getPath, false))
-    staged.foreach(s =>
-      fs.rename(s.getPath, new org.apache.hadoop.fs.Path(s"$destDir/${s.getPath.getName}")))
+    val winners = staged.flatMap { s =>
+      s.getPath.getName match {
+        case stagedName(pid, att) => Some((pid.toInt, att.toLong, s.getPath))
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (pid, as) => pid -> as.maxBy(_._2) }
+    winners.foreach { case (pid, (_, att, path)) =>
+      val dst = new org.apache.hadoop.fs.Path(f"$destDir/part-$pid%05d.avro")
+      if (fs.exists(dst)) fs.delete(dst, false)
+      fs.rename(path, dst)
+      val fb = new org.apache.hadoop.fs.Path(f"$stagingDir/part-$pid%05d-a$att.fallback.jsonl")
+      if (fs.exists(fb)) {
+        val fbDst = new org.apache.hadoop.fs.Path(f"$destDir/part-$pid%05d.fallback.jsonl")
+        if (fs.exists(fbDst)) fs.delete(fbDst, false)
+        fs.rename(fb, fbDst)
+      }
+    }
+    // sweep partitions that no longer exist (previous wider run)
+    val partName = """part-(\d+)\.avro""".r
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$destDir/part-*.avro")).foreach { s =>
+      s.getPath.getName match {
+        case partName(pid) if !winners.contains(pid.toInt) => fs.delete(s.getPath, false)
+        case _ =>
+      }
+    }
     if (fs.exists(stPath)) fs.delete(stPath, true)
   }
 
@@ -159,6 +247,18 @@ object Export {
     val sink = new ExactlyOnceSink(spark, workOut)
     sink.readCommitted("errors").foreach { err =>
       graft.pipeline.Router.errorRecord(err.drop("route"))
+        .coalesce(1).write.mode("overwrite").json(dest)
+    }
+  }
+
+  /** Schema-change export: the schema route in the reference's wrapper
+    * shape (handlers/SchemaChangeHandler.scala:12-26; shipped through the
+    * same cloud sink in reference main.scala:485-493) as JSONL.
+    */
+  def schemaChanges(spark: SparkSession, workOut: String, dest: String): Unit = {
+    val sink = new ExactlyOnceSink(spark, workOut)
+    sink.readCommitted("schema_changes").foreach { sc =>
+      graft.pipeline.Router.schemaChangeRecord(sc.drop("route"))
         .coalesce(1).write.mode("overwrite").json(dest)
     }
   }

@@ -18,7 +18,8 @@ class ExportConfigSpec extends SparkSpec {
     val streamDir = tmpDir("estream")
     val w = tmpDir("ework")
     TranscriptGen.writeTable(spark,
-      GenConfig(numConvs = 30, avgTurns = 8, malformedFrac = 0.05), tableDir)
+      GenConfig(numConvs = 30, avgTurns = 8, malformedFrac = 0.05,
+        schemaChangeFrac = 0.05), tableDir)
     ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
     CdcPipeline.runAvailable(spark, tableDir, streamDir, s"$w/out", s"$w/ck")
     w
@@ -137,6 +138,135 @@ class ExportConfigSpec extends SparkSpec {
     val count1 = spark.read.format("binaryFile").load(s"$dest/part-*.avro").count()
     Export.avro(spark, s"$workDir/out", dest) // re-run: same part names, republished
     assert(spark.read.format("binaryFile").load(s"$dest/part-*.avro").count() == count1)
+  }
+
+  test("schema-change export carries the schema route in the wrapper shape") {
+    val dest = tmpDir("eschema")
+    Export.schemaChanges(spark, s"$workDir/out", dest)
+    val sc = spark.read.json(dest)
+    val nSc = new ExactlyOnceSink(spark, s"$workDir/out")
+      .readCommitted("schema_changes").get.count()
+    assert(nSc > 0 && sc.count() == nSc)
+    assert(sc.columns.contains("change_type") && sc.columns.contains("details"))
+    assert(sc.where(col("change_type") === "schema_change").count() == nSc)
+  }
+
+  test("size/duration parsers mirror the reference's forms and defaults") {
+    assert(Export.parseTimeToMillis("5min") == 300000L)
+    assert(Export.parseTimeToMillis("30 sec") == 30000L)
+    assert(Export.parseTimeToMillis("250ms") == 250L)
+    assert(Export.parseTimeToMillis("whenever") == 300000L) // reference default
+    assert(Export.parseSizeBytes("128MB") == (128L << 20))
+    assert(Export.parseSizeBytes("2GB") == (2L << 30))
+    assert(Export.parseSizeBytes("64 KB") == (64L << 10))
+    assert(Export.parseSizeBytes("lots") == (128L << 20)) // reference default
+    val c = AppConfig.load(Seq("rollingFileSize=256MB", "rollingInterval=2min")).toOption.get
+    assert(c.rollingFileSizeBytes == (256L << 20) && c.rollingIntervalMs == 120000L)
+  }
+
+  test("avro encode failure falls back to raw JSON per record, container stays valid") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("table_name", StringType), StructField("operation", StringType),
+      StructField("timestamp", LongType), StructField("before", StringType),
+      StructField("after", StringType), StructField("source", StringType),
+      StructField("processing_time", LongType), StructField("pipeline_version", StringType),
+      StructField("data_quality_score", DoubleType), StructField("_raw_json", StringType)))
+    def row(op: String): org.apache.spark.sql.Row = org.apache.spark.sql.Row(
+      "t", op, 1L, null, "{}", "{}", 2L, "1.0.0", 0.5,
+      s"""{"table_name":"t","operation":${if (op == null) "null" else "\"" + op + "\""}}""")
+    // through createDataFrame so rows carry their schema (getAs-by-name)
+    val withSchema = spark.createDataFrame(
+      java.util.Arrays.asList(row("c"), row(null), row("u")), schema)
+      .collect().sortBy(r => Option(r.getString(1)).getOrElse("")) // "", c, u
+    val rows = Iterator(withSchema(1), withSchema(0), withSchema(2)) // c, null, u
+    val dir = tmpDir("avrofb")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val avroPath = new org.apache.hadoop.fs.Path(s"$dir/part-00000.avro")
+    val fbPath = new org.apache.hadoop.fs.Path(s"$dir/part-00000.fallback.jsonl")
+    val (ok, fb) = Export.writeAvroPart(rows, Export.avroSchemaJson, fs, avroPath, fbPath, "none")
+    assert(ok == 2 && fb == 1)
+    // the avro container holds exactly the two good records
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new java.io.File(avroPath.toUri.getPath),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val ops = Iterator.continually(reader).takeWhile(_.hasNext).map(_.next().get("operation").toString).toList
+    reader.close()
+    assert(ops == List("c", "u"))
+    // the poisoned record's raw JSON landed in the sidecar
+    val fbLines = scala.io.Source.fromFile(fbPath.toUri.getPath).getLines().toList
+    assert(fbLines.size == 1 && fbLines.head.contains("\"operation\":null"))
+  }
+
+  test("sink maxRecordsPerFile rolls committed files at the cap") {
+    val tableDir = tmpDir("rolltable")
+    val streamDir = tmpDir("rollstream")
+    val out = tmpDir("rollout")
+    TranscriptGen.writeTable(spark, GenConfig(numConvs = 40, avgTurns = 8), tableDir)
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    ChangeStreamReader.spoolSnapshot(spark, tableDir, streamDir)
+    val q = CdcPipeline.start(spark, streamDir, out, tmpDir("rollck"),
+      maxFilesPerTrigger = 1000, maxRecordsPerFile = 25L)
+    q.awaitTermination()
+    val ev = new ExactlyOnceSink(spark, out).readCommitted("events").get
+    val perFile = ev.groupBy(input_file_name()).count()
+    assert(perFile.agg(max("count")).first().getLong(0) <= 25L,
+      "no committed file may exceed the record cap")
+    assert(ev.count() > 25L, "fixture must be large enough to roll")
+  }
+
+  test("config: mode selects the trigger; continuous uses the env checkpoint interval") {
+    import org.apache.spark.sql.streaming.Trigger
+    val avail = AppConfig.load(Seq("env=prod")).toOption.get
+    assert(avail.mode == "available" &&
+      CdcPipeline.triggerFor(avail) == Trigger.AvailableNow())
+    val cont = AppConfig.load(Seq("env=prod", "mode=continuous")).toOption.get
+    assert(cont.checkpointIntervalSec == 60) // prod env default
+    assert(CdcPipeline.triggerFor(cont) == Trigger.ProcessingTime(60000L))
+    val cust = AppConfig.load(Seq("mode=continuous", "checkpointIntervalSec=5")).toOption.get
+    assert(CdcPipeline.triggerFor(cust) == Trigger.ProcessingTime(5000L))
+    assert(AppConfig.load(Seq("mode=sometimes")).isLeft)
+  }
+
+  test("config: env declared in application.properties loads its {env}.properties layer") {
+    val dir = tmpDir("cfgenv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "application.properties"),
+      "env=prod\nsessionGap=45 minutes\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "prod.properties"),
+      "parallelism=7\n")
+    val c = AppConfig.load(Seq(s"configDir=$dir"), Map.empty, _ => None).toOption.get
+    assert(c.env == "prod", "file-declared env must be effective")
+    assert(c.parallelism == 7, "file-declared env must load its own {env}.properties")
+    assert(c.restartAttempts == 5 && c.restartDelayMs == 30000L,
+      "file-declared env must drive env defaults")
+  }
+
+  test("environment validation probes tableDir existence and workDir writability") {
+    val t = tmpDir("envok")
+    val cfgOk = AppConfig.load(Seq(s"tableDir=$t", s"workDir=$t/w")).toOption.get
+    assert(cfgOk.validateEnvironment(spark.sparkContext.hadoopConfiguration).isRight)
+    val cfgBad = AppConfig.load(Seq(s"tableDir=$t/definitely-missing")).toOption.get
+    assert(cfgBad.validateEnvironment(spark.sparkContext.hadoopConfiguration).isLeft)
+  }
+
+  test("continuous trigger commits multiple periodic micro-batches") {
+    val tableDir = tmpDir("conttable")
+    val streamDir = tmpDir("contstream")
+    val out = tmpDir("contout")
+    TranscriptGen.writeTable(spark, GenConfig(numConvs = 30, avgTurns = 6, changeFiles = 2), tableDir)
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    ChangeStreamReader.spoolSnapshot(spark, tableDir, streamDir, numFiles = 8)
+    val sink = new ExactlyOnceSink(spark, out)
+    val q = CdcPipeline.start(spark, streamDir, out, tmpDir("contck"),
+      maxFilesPerTrigger = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(300L))
+    try {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (sink.committedBatchIds.size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200L)
+      assert(sink.committedBatchIds.size >= 2,
+        "periodic trigger must commit multiple micro-batches")
+    } finally q.stop()
   }
 
   test("savepoint: a copied checkpoint resumes identically (no dupes/loss)") {

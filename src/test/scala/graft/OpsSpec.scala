@@ -43,6 +43,33 @@ class OpsSpec extends SparkSpec {
     assert(hotDf > 50, "fixture must contain a hot gram")
   }
 
+  test("simhash blocking at the default radius is sub-quadratic on a 1k-doc corpus") {
+    import spark.implicits._
+    // 1k mutually-dissimilar docs (unique token vocab per doc): with 15-bit
+    // chunks the expected chunk-collision rate is 4·C(n,2)/2^15 ≈ 61 pairs —
+    // the candidate join must stay ≪ all-pairs (the r2 verdict's scale gate)
+    val corpus = (0 until 1000).map { i =>
+      (i.toLong, (0 until 24).map(j => s"tok${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val allPairs = 1000L * 999L / 2L
+    val cand = Dedup.simhashCandidates(corpus, maxHamming = 3).count()
+    assert(cand < allPairs / 100L,
+      s"simhash candidates ($cand) must be ≪ all-pairs ($allPairs)")
+  }
+
+  test("lshBandsFor sizes bands so the miss probability AT the threshold is bounded") {
+    // the q22 oracle hardcodes planes 0..1259 = 105 bands × 12 bits — this
+    // pin keeps the Scala sizing and the DuckDB mirror in lock-step
+    assert(Dedup.lshBandsFor(0.8, 12) == 105)
+    // higher thresholds need fewer bands; more bits per band need more bands
+    assert(Dedup.lshBandsFor(0.95, 12) < Dedup.lshBandsFor(0.8, 12))
+    assert(Dedup.lshBandsFor(0.8, 14) > Dedup.lshBandsFor(0.8, 12))
+    // tighter recall targets need more bands
+    assert(Dedup.lshBandsFor(0.8, 12, targetMiss = 1e-6) > Dedup.lshBandsFor(0.8, 12))
+    intercept[IllegalArgumentException](Dedup.lshBandsFor(1.0, 12))
+    intercept[IllegalArgumentException](Dedup.lshBandsFor(0.01, 48)) // un-LSH-able regime
+  }
+
   test("exact dedup counts duplicates") {
     val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 100000))
     val d = Dedup.exact(doubled)
