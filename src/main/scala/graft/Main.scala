@@ -105,6 +105,17 @@ object Main {
             println(s"[pipeline] env=${cfg.env} events=$n tables=${
               new sink.ExactlyOnceSink(spark, s"${cfg.workDir}/out").tables().mkString(",")}")
         }
+      case "monitor" :: workDir :: rest =>
+        // debug observer over the committed log (≙ reference monitoring/
+        // logging mappers, sampled — see metrics.Taps)
+        val everyN = rest.headOption.map(_.toLong).getOrElse(1000L)
+        val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
+        val ev = sink.readCommitted("events").get
+        val acc = spark.sparkContext.longAccumulator("monitor-events")
+        val tapped = metrics.Taps.tap(ev.select(col("op"), col("src_table"),
+          col("ts_ms"), col("after")), "monitor", everyN = everyN, counter = Some(acc))
+        tapped.write.format("noop").mode("overwrite").save()
+        println(s"[monitor] events=${acc.value} sampledEvery=$everyN")
       case "lineage" :: workDir :: Nil =>
         val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
         sink.readManifest() match {

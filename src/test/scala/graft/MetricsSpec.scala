@@ -47,4 +47,24 @@ class MetricsSpec extends SparkSpec {
     assert(graft.metrics.LatencyMonitor.alerts.size() == 1)
     assert(graft.metrics.LatencyMonitor.history.size() == 2)
   }
+
+  test("debug taps are pass-through observers with exact accumulator counts") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, s"event-$i", "x" * 300))
+      .toDF("id", "kind", "payload")
+    val acc = spark.sparkContext.longAccumulator("tap-test")
+    val tapped = graft.metrics.Taps.tap(df, "test", truncateTo = 50,
+      everyN = 100L, counter = Some(acc))
+    // pass-through invariant: rows byte-identical, nothing dropped/reordered
+    assertSameRows(tapped, df, "tap pass-through")
+    assert(acc.value == 500L, "accumulator counts every row exactly")
+    // the named recasts (all-events / sink-written / local-simulated) share
+    // the invariant
+    val acc2 = spark.sparkContext.longAccumulator("tap-all")
+    assertSameRows(graft.metrics.Taps.allEvents(df, "local", Some(acc2)), df)
+    assertSameRows(graft.metrics.Taps.sinkWritten(df, "conversations", "dev",
+      "s3://bucket/path"), df)
+    assertSameRows(graft.metrics.Taps.simulated(df, "conversations"), df)
+    assert(acc2.value == 500L)
+  }
 }
