@@ -45,7 +45,9 @@ object SparkEntry {
     "q22_emb_dedup" -> (Queries.q22EmbDedup _),
     "q23_multimodal" -> (Queries.q23Multimodal _),
     "q24_bpe_tokens" -> (Queries.q24BpeTokens _),
-    "q25_ann_range" -> (Queries.q25AnnRange _)
+    "q25_ann_range" -> (Queries.q25AnnRange _),
+    "q26_dedup_clusters" -> (Queries.q26DedupClusters _),
+    "q27_hash_sample" -> (Queries.q27HashSample _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -270,6 +272,30 @@ object SparkEntry {
         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe,
         |  CAST(max(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS max_bpe
         |FROM documents GROUP BY source""".stripMargin,
+    // q26 mirror: the q11 jaccard-pair pipeline + a recursive transitive
+    // closure; cluster = min reachable doc id (both directions unioned in).
+    "q26_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |      FROM t, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 2),
+        |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT id1, id2 FROM c
+        |      JOIN n n1 ON c.id1 = n1.doc_id JOIN n n2 ON c.id2 = n2.doc_id
+        |      WHERE inter * 1.0 / (n1.ng + n2.ng - inter) >= 0.6),
+        |e AS (SELECT id1 AS s, id2 AS d FROM p UNION SELECT id2, id1 FROM p),
+        |r(s, d) AS (SELECT s, d FROM e
+        |            UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
+        |SELECT s AS doc_id, least(s, min(d)) AS cluster FROM r GROUP BY s""".stripMargin,
+    // q27 mirror: the same md5 60-bit uniform; 0.25·2^60 = 2^58 exactly.
+    "q27_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5('s0:' || doc_id), 1, 15))::UBIGINT::BIGINT
+        |      < 288230376151711744""".stripMargin,
     // q23 mirror: modality routing, payload byte counts, and frame sampling
     // are pure integer arithmetic over the UTF-8 text payload
     // (Multimodal.mediaFromDocuments / sampleFrames); the float feature

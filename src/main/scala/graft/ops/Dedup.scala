@@ -206,6 +206,65 @@ object Dedup {
       .distinct()
   }
 
+  /** Collapse near-dup pairs into clusters: every doc appearing in `pairs`
+    * is labeled with the MINIMUM doc id reachable through the near-dup
+    * graph (connected components by iterative min-label propagation). This
+    * is the step a dedup pipeline actually keys on — pairs alone can't
+    * pick one representative per duplicate group when dups chain
+    * (A≈B, B≈C but A̸≈C).
+    *
+    * Scale: per iteration one equi-join edges⋈labels + one min-aggregate —
+    * all shuffles on doc id. Converges in graph-diameter iterations; dup
+    * clusters in real corpora are shallow (near-clique), so 3–5 passes
+    * close them. `maxIters` bounds the worst case (a path graph); raise it
+    * for adversarial chains. Early-exits as soon as a pass changes nothing.
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20,
+      id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
+    val edges = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+      .union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("cluster").as("nbr"))
+      val next = labels.join(prop, labels("id") === prop("src"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.select(col("id").as("oid"), col("cluster").as("old")),
+          col("id") === col("oid"))
+        .where(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster"))
+  }
+
+  /** Deterministic content-hash sampling: keep a row iff the md5-derived
+    * 60-bit uniform of (salt, id) falls under `rate`. No RNG state, so the
+    * SAME rows are selected on any engine, any partitioning, any run — the
+    * standard trick for reproducible train/eval splits and corpus
+    * subsampling at 100 TB (a `sample()` with a seed is partitioning-
+    * dependent; this is content-addressed). Engine-neutral: mirrors as
+    * ('0x' || substr(md5(...),1,15))::UBIGINT < floor(rate·2^60) in DuckDB.
+    */
+  def hashSample(docs: DataFrame, rate: Double, salt: String = "s0",
+      idCol: String = "doc_id"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val threshold = java.math.BigDecimal.valueOf(rate)
+      .multiply(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(60)))
+      .toBigInteger.longValueExact()
+    docs.where(graft.ops.TextAnalysis.tokenHash60(
+      concat(lit(salt), lit(":"), col(idCol).cast("string"))) < threshold)
+  }
+
   /** Sign-LSH band count sized FROM the threshold: the smallest `bands`
     * such that a pair at cosine exactly `t` collides in ≥1 band with
     * probability ≥ 1 − targetMiss (collision per band = p^bits with

@@ -239,6 +239,21 @@ object Queries {
     * the float feature fold (avg_f0) is decode-stub-specific and pinned by
     * OpsSpec determinism/partition-invariance tests instead.
     */
+  /** q26: dedup clustering — near-dup pairs (the q11/q12 operator) collapsed
+    * into connected components; each doc labeled with its cluster's min id
+    * (the representative a dedup pipeline keeps).
+    */
+  def q26DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.dedupClusters(
+      graft.ops.Dedup.minhashLshPairs(table(spark, sfDir, "documents"), n = 3, threshold = 0.6))
+
+  /** q27: deterministic content-hash sampling (25% split) — reproducible
+    * across engines/partitionings, the train/eval-split primitive.
+    */
+  def q27HashSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.hashSample(table(spark, sfDir, "documents"), rate = 0.25)
+      .select(col("doc_id"), col("source"))
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

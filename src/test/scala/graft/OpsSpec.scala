@@ -43,6 +43,40 @@ class OpsSpec extends SparkSpec {
     assert(hotDf > 50, "fixture must contain a hot gram")
   }
 
+  test("dedup clusters: chained near-dups collapse to one min-id component") {
+    import spark.implicits._
+    // A≈B, B≈C (chain — A and C are NOT a pair), plus an unrelated pair D≈E
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val got = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain still converges (diameter > 2)
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val c = Dedup.dedupClusters(chain).as[(Long, Long)].collect().toMap
+    assert(c.values.forall(_ == 1L) && c.size == 8)
+    // real operator input: clusters of the fixture's minhash pairs contain
+    // every doc that appears in a pair, labeled ≤ its own id
+    val real = Dedup.dedupClusters(Dedup.minhashLshPairs(docs, 3, 0.6))
+    val nDocs = Dedup.minhashLshPairs(docs, 3, 0.6)
+      .select(col("id1")).union(Dedup.minhashLshPairs(docs, 3, 0.6).select(col("id2")))
+      .distinct().count()
+    assert(real.count() == nDocs)
+    assert(real.where(col("cluster") > col("doc_id")).count() == 0)
+  }
+
+  test("hash sampling is deterministic, partition-invariant, near the target rate") {
+    val s1 = Dedup.hashSample(docs, 0.25)
+    val s2 = Dedup.hashSample(docs.repartition(7), 0.25)
+    assertSameRows(s1, s2, "content-addressed: identical under any partitioning")
+    val n = docs.count().toDouble
+    val k = s1.count().toDouble
+    assert(math.abs(k / n - 0.25) < 0.1, s"rate ${k / n} should be near 0.25")
+    assert(Dedup.hashSample(docs, 0.0).count() == 0)
+    assert(Dedup.hashSample(docs, 1.0).count() == n.toLong)
+    // different salts give different (and independent) splits
+    val other = Dedup.hashSample(docs, 0.25, salt = "s1")
+    assert(canon(other) != canon(s1))
+  }
+
   test("simhash blocking at the default radius is sub-quadratic on a 1k-doc corpus") {
     import spark.implicits._
     // 1k mutually-dissimilar docs (unique token vocab per doc): with 15-bit
