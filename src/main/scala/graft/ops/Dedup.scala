@@ -220,31 +220,69 @@ object Dedup {
     * for adversarial chains. Early-exits as soon as a pass changes nothing.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20,
+      driverMaxEdges: Long = 5000000L,
       id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
-    val edges = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
-      .union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).cache()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIters) {
-      val prop = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min("cluster").as("nbr"))
-      val next = labels.join(prop, labels("id") === prop("src"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val undirected = pairs.select(col(id1Col).cast("long").as("src"),
+      col(id2Col).cast("long").as("dst")).distinct().cache()
+    val nEdges = undirected.count()
+    if (nEdges <= driverMaxEdges) {
+      // Near-dup graphs are SPARSE relative to the corpus (LSH emits ~1% of
+      // pairs); below the cap a driver union-find closes components in one
+      // collect + one linear pass — no per-iteration Spark jobs. The collect
+      // is bounded by `driverMaxEdges` (~80 MB at the default), the same
+      // bounded-by-construction class as the k-means sample.
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      undirected.collect().foreach { e =>
+        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+        // attach the larger root under the smaller: the component minimum
+        // never gains a parent, so every root IS its component's min id
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val ids = undirected.select(col("src").as("id"))
+        .union(undirected.select(col("dst"))).distinct()
+        .as[Long].collect()
+      undirected.unpersist()
+      ids.toSeq.map(v => (v, find(v))).toDF("doc_id", "cluster")
+    } else {
+      val edges = undirected
+        .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
         .cache()
-      changed = next.as("n")
-        .join(labels.select(col("id").as("oid"), col("cluster").as("old")),
-          col("id") === col("oid"))
-        .where(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      i += 1
+      // each iteration references the previous labels twice (propagation +
+      // changed-count), so lineage grows 2^i without truncation — the plan
+      // string alone OOMs the driver. localCheckpoint cuts the plan at every
+      // step (on a cluster with executor loss in play, set a checkpoint dir
+      // and swap in .checkpoint()).
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")).localCheckpoint()
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIters) {
+        val prop = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min("cluster").as("nbr"))
+        val next = labels.join(prop, labels("id") === prop("src"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+          .localCheckpoint()
+        changed = next.as("n")
+          .join(labels.select(col("id").as("oid"), col("cluster").as("old")),
+            col("id") === col("oid"))
+          .where(col("cluster") =!= col("old")).count()
+        labels = next
+        i += 1
+      }
+      edges.unpersist()
+      undirected.unpersist()
+      labels.select(col("id").as("doc_id"), col("cluster"))
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("cluster"))
   }
 
   /** Deterministic content-hash sampling: keep a row iff the md5-derived

@@ -49,10 +49,17 @@ class OpsSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
     val got = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-    // a longer chain still converges (diameter > 2)
+    // the distributed label-propagation path (forced) agrees with union-find
+    val gotDist = Dedup.dedupClusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDist == got, "distributed path == driver union-find")
+    // a longer chain still converges (diameter > 2), on both paths
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
     val c = Dedup.dedupClusters(chain).as[(Long, Long)].collect().toMap
     assert(c.values.forall(_ == 1L) && c.size == 8)
+    val cDist = Dedup.dedupClusters(chain, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(cDist == c)
     // real operator input: clusters of the fixture's minhash pairs contain
     // every doc that appears in a pair, labeled ≤ its own id
     val real = Dedup.dedupClusters(Dedup.minhashLshPairs(docs, 3, 0.6))

@@ -52,6 +52,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q26: cluster propagation is equi-joins only, never a nested loop") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    // force the at-scale distributed path (the driver union-find shortcut
+    // would plan as a LocalTableScan and prove nothing)
+    val p = plan(graft.ops.Dedup.dedupClusters(pairs, driverMaxEdges = 0L))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "label propagation must be equi-join shaped:\n" + p.take(600))
+  }
+
+  test("q27: hash sampling is a narrow shuffle-free filter with pruned schema") {
+    // private parquet copy: other suites cache documents.parquet in the
+    // shared session, and cache substitution would hide the file scan
+    val dir = tmpDir("q27plan")
+    spark.read.parquet(s"$sf/documents.parquet").write.parquet(s"$dir/documents.parquet")
+    val p = plan(Queries.q27HashSample(spark, dir))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "content-hash sampling must be a narrow filter:\n" + p.take(600))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), "sampling must not read the text column: " + readSchema)
+  }
+
   test("q15: IVF assignment is a narrow codegen'd map (no join/exchange before the index)") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val (index, _) = graft.ops.Similarity.buildIvfIndex(embs, nlist = 16)
