@@ -47,7 +47,12 @@ object SparkEntry {
     "q24_bpe_tokens" -> (Queries.q24BpeTokens _),
     "q25_ann_range" -> (Queries.q25AnnRange _),
     "q26_dedup_clusters" -> (Queries.q26DedupClusters _),
-    "q27_hash_sample" -> (Queries.q27HashSample _)
+    "q27_hash_sample" -> (Queries.q27HashSample _),
+    "q28_asof_join" -> (Queries.q28AsofJoin _),
+    "q29_repetition" -> (Queries.q29Repetition _),
+    "q30_vocab" -> (Queries.q30Vocab _),
+    "q31_tfidf" -> (Queries.q31TfIdf _),
+    "q32_decontaminate" -> (Queries.q32Decontaminate _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -296,6 +301,69 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substr(md5('s0:' || doc_id), 1, 15))::UBIGINT::BIGINT
         |      < 288230376151711744""".stripMargin,
+    // q28 mirror: the same union + running last-non-null shape — an equal-ts
+    // click (side 0) sorts before the purchase (side 1), ties break on
+    // event_id, so the match is deterministic in both engines.
+    "q28_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 1 AS side,
+        |         event_id AS pid, NULL::BIGINT AS cid
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, NULL, event_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, pid AS purchase_id, last_click AS click_id FROM (
+        |  SELECT *, last_value(cid IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |  FROM u)
+        |WHERE side = 1""".stripMargin,
+    // q29 mirror: dup-word fraction from list_distinct; top-bigram fraction
+    // from the frequency-preserving bigram expansion (max/sum of counts).
+    "q29_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        |      FROM t, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 1),
+        |bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2),
+        |bf AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
+        |       FROM bc GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_word_frac,
+        |  coalesce(bf.top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM t LEFT JOIN bf ON t.doc_id = bf.doc_id""".stripMargin,
+    "q30_vocab" ->
+      """SELECT token, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    // q31 mirror: rank orders by the ROUNDED tfidf then term, so ln() ulp
+    // differences cannot flip ranks cross-engine.
+    "q31_tfidf" ->
+      """WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |                  FROM documents) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf.tf,
+        |        round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+        |      FROM tf JOIN df USING (term), n),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s)
+        |SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 3""".stripMargin,
+    // q32 mirror: 8-gram overlap with the doc_id % 20 = 0 eval slice.
+    "q32_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |        w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
+        |      FROM t, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 7),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
     // q23 mirror: modality routing, payload byte counts, and frame sampling
     // are pure integer arithmetic over the UTF-8 text payload
     // (Multimodal.mediaFromDocuments / sampleFrames); the float feature

@@ -436,4 +436,25 @@ object Dedup {
         round(col("dot").cast("double") / sqrt((col("n21") * col("n22")).cast("double")), 4)
           .as("cosine"))
   }
+
+  /** Benchmark decontamination: drop every corpus document sharing ANY word
+    * n-gram with the (small) benchmark/eval set — the standard n-gram-
+    * overlap rule training pipelines apply before training (GPT-3 paper
+    * §C uses 13-grams; default 8 here because the fixtures' docs are
+    * shorter). Catches the eval docs themselves AND near-verbatim
+    * paraphrases that exact-hash matching misses.
+    *
+    * Scale: benchmark gram sets are eval-suite sized (thousands of docs) →
+    * `broadcast` semi-join against the corpus gram explode, so the corpus
+    * is scanned ONCE with no shuffle of text; only the hit doc-id set
+    * (≤ corpus rows, usually tiny) shuffles into the final left_anti.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = grams(benchmark, n, idCol, textCol).select(col("gram")).distinct()
+    val hits = grams(corpus, n, idCol, textCol)
+      .join(broadcast(bg), Seq("gram"))
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
 }

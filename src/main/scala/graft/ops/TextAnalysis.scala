@@ -86,6 +86,87 @@ object TextAnalysis {
       (acc, t) => (acc * lit(1000003L) + tokenHash60(t) % lit(p)) % lit(p))
   }
 
+  /** Frequency-preserving word bigrams (the codegen'd `word_ngrams` kernel
+    * dedupes — repetition measurement needs multiplicity). Pure builtin
+    * HOFs, narrow. Guarded: `sequence(1, 0)` would count DOWN in Spark, so
+    * sub-2-token docs short-circuit to an empty array.
+    */
+  def bigramsWithMultiplicity(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style per-document repetition signals (Rae et al. 2021 §A1.1,
+    * public): duplicate-word fraction (1 − distinct/total) and the fraction
+    * of bigram occurrences taken by the single most frequent bigram. High
+    * values mark degenerate/boilerplate docs a training pipeline drops.
+    *
+    * Scale: dup_word_frac is narrow (array builtins in one projection); the
+    * top-bigram fraction is one explode + two hash aggregations keyed by
+    * (doc, gram) then (doc) — map-side partials on both, shuffle volume
+    * ≤ one (doc_id, gram-hash, count) row per distinct in-doc bigram.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val w = tokens(t)
+    val base = docs.select(col(idCol),
+      size(w).cast("long").as("n_words"),
+      round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 4)
+        .as("dup_word_frac"))
+    val topBigram = docs
+      .select(col(idCol), explode(bigramsWithMultiplicity(t)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 4)
+        .as("top_bigram_frac"))
+    // left join: a sub-2-token doc has no bigrams — keep it at 0.0 rather
+    // than dropping it from the report
+    base.join(topBigram, Seq(idCol), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
+  /** Corpus vocabulary: top-k tokens by frequency, ties broken by token —
+    * the vocab-building primitive. One explode + hash aggregate (map-side
+    * partial combine collapses each partition to its local vocab before the
+    * shuffle) + a TakeOrderedAndProject top-k — never a full sort.
+    */
+  def vocab(docs: DataFrame, k: Int = 20, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-document top-k terms by tf·idf (idf = ln(N/df), tf = in-doc term
+    * count). Keyword extraction / relevance weighting over the corpus.
+    *
+    * Scale: tf is one (doc, term) hash aggregate; df re-aggregates the tf
+    * side (vocab-sized, broadcast back); N joins in as a broadcast 1-row
+    * aggregate — no driver collect, no second corpus scan. The final top-k
+    * is a running row_number over the (doc) shuffle. Ranking orders by the
+    * ROUNDED score then term, so rank is reproducible cross-engine even
+    * where ln() differs in the last ulp.
+    */
+  def tfIdf(docs: DataFrame, topK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+  }
+
   /** Convenience projection of all per-document text features. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -254,6 +254,42 @@ object Queries {
     graft.ops.Dedup.hashSample(table(spark, sfDir, "documents"), rate = 0.25)
       .select(col("doc_id"), col("source"))
 
+  /** q28: as-of join — each purchase gets the latest at-or-before click by
+    * the same user (temporal lookup join; null when the user never
+    * clicked). Single-shuffle union + running-last, never a range join.
+    */
+  def q28AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.pipeline.Joins.asOfJoin(purchases, clicks, "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("asof.event_id").as("click_id"))
+  }
+
+  /** q29: Gopher-style repetition signals per document. */
+  def q29Repetition(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextAnalysis.repetitionStats(table(spark, sfDir, "documents"))
+
+  /** q30: corpus vocabulary — top-20 tokens by frequency. */
+  def q30Vocab(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextAnalysis.vocab(table(spark, sfDir, "documents"), k = 20)
+
+  /** q31: per-document top-3 tf·idf terms. */
+  def q31TfIdf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextAnalysis.tfIdf(table(spark, sfDir, "documents"), topK = 3)
+
+  /** q32: benchmark decontamination — survivors after dropping every doc
+    * sharing an 8-gram with the eval slice (doc_id ≡ 0 mod 20).
+    */
+  def q32Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    graft.ops.Dedup.decontaminate(docs, docs.where(col("doc_id") % 20 === 0), n = 8)
+      .select(col("doc_id"), col("source"))
+  }
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

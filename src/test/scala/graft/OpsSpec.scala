@@ -297,6 +297,67 @@ class OpsSpec extends SparkSpec {
     assert(a.where(col("n_tokens") <= 0).count() == 0)
   }
 
+  test("as-of join: latest at-or-before match, equal-ts + tie rules, null when none") {
+    import spark.implicits._
+    import graft.pipeline.Joins
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "id")
+    val right = Seq((1L, 10L, 200L), (1L, 15L, 201L), (1L, 15L, 205L), (3L, 1L, 202L))
+      .toDF("k", "t", "id")
+    val res = Joins.asOfJoin(left, right, "k", "t", "id")
+      .select(col("id").as("lid"), col("asof.id").as("rid"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // equal-ts right row IS visible; equal-ts tie between right rows takes
+    // the larger tie id (last in sort order); no right row for k=2 → null
+    assert(res == Map(100L -> 200L, 101L -> 205L, 102L -> -1L))
+    val strict = Joins.asOfJoin(left, right, "k", "t", "id", strict = true)
+      .select(col("id").as("lid"), col("asof.id").as("rid"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // strictly-before: the t=10 right row is no longer visible at t=10
+    assert(strict == Map(100L -> -1L, 101L -> 205L, 102L -> -1L))
+  }
+
+  test("repetition stats: degenerate docs score high, short docs survive") {
+    import spark.implicits._
+    val d = Seq((0L, "a a a a"), (1L, "w x y z"), (2L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r(0L) == ((4L, 0.75, 1.0)))     // "a a" is 3 of 3 bigrams
+    assert(r(1L) == ((4L, 0.0, 0.3333)))   // all distinct, uniform bigrams
+    assert(r(2L) == ((1L, 0.0, 0.0)))      // no bigrams → kept at 0.0
+  }
+
+  test("vocab: frequency ranking with lexicographic tie-break") {
+    import spark.implicits._
+    val d = Seq((0L, "b a b c a z"), (1L, "a q")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocab(d, k = 3).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("tf-idf: corpus-wide terms score zero, rare terms rank first") {
+    import spark.implicits._
+    val d = Seq((0L, "a b"), (1L, "a c")).toDF("doc_id", "text")
+    val s = TextAnalysis.tfIdf(d, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(s((0L, "a")) == 0.0 && s((1L, "a")) == 0.0) // df = N → ln(1) = 0
+    assert(s((0L, "b")) == 0.6931 && s((1L, "c")) == 0.6931)
+  }
+
+  test("decontaminate: drops eval docs and 8-gram-overlap paraphrases only") {
+    import spark.implicits._
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (0L, evalDoc),                                       // exact eval copy
+      (1L, s"intro words $evalDoc trailing tail"),         // contains an 8-gram
+      (2L, "alpha beta gamma delta unrelated zeta eta theta iota kappa"), // breaks every 8-gram
+      (3L, "completely different document about training data pipelines at scale ok")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, benchmark, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("multimodal: deterministic features, fixed dim, partition-local") {
     val media = Multimodal.mediaFromDocuments(docs)
     val f1 = Multimodal.extractFeatures(media).toDF()

@@ -83,6 +83,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("nearest_centroid") || p.contains("*(1)"), p.take(300))
   }
 
+  test("q28: as-of join is one key shuffle + window — no range join, no nested loop") {
+    val p = plan(Queries.q28AsofJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of must be the union+window shape, not a join:\n" + p.take(800))
+    assert(p.contains("Window"), p.take(400))
+    // exactly one data shuffle: the partitionBy(key) exchange for the window
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "single key shuffle:\n" + p.take(800))
+  }
+
+  test("q30: vocab top-k is TakeOrderedAndProject over partial aggregation, no full sort") {
+    val p = plan(Queries.q30Vocab(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort:\n" + p.take(600))
+    assert(p.contains("partial_count"), "map-side vocab combine:\n" + p.take(600))
+  }
+
+  test("q31: df and N join back as broadcasts — corpus term stream shuffles once") {
+    val p = plan(Queries.q31TfIdf(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "df/N must broadcast:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin") && p.contains("BroadcastNestedLoopJoin"),
+      "vocab-side broadcast equi-join + 1-row N broadcast:\n" + p.take(800))
+  }
+
+  test("q32: benchmark grams broadcast; corpus text is never shuffled") {
+    val p = plan(Queries.q32Decontaminate(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "gram semi-join must broadcast:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    // only the hit doc-id set shuffles (for the distinct + anti-join) —
+    // no exchange may carry the text column
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text"))
+    assert(!badExchange, "no shuffle of document text:\n" + p.take(800))
+  }
+
   test("CDC routed projection stays narrow (no exchange before the sink shuffle)") {
     import graft.pipeline.CdcPipeline
     val df = graft.source.ChangeStreamReader.batch(spark,
