@@ -143,6 +143,51 @@ object HashingKernels {
     new GenericArrayData(out)
   }
 
+  /** 60-bit unweighted SimHash over md5 token hashes in ONE pass per
+    * document — replaces the explode + 60-conditional-sum aggregate shape
+    * (2M shuffled rows and a wide groupBy at sf0.1) with a narrow codegen'd
+    * map. Bit-identical to the expression formula it replaced and to the
+    * DuckDB oracle: token = `split(text, " ")` with trailing empties, token
+    * hash = first 15 md5-hex chars as a long (TextAnalysis.tokenHash60),
+    * bit b set iff Σ±1 over tokens' bit b is > 0.
+    */
+  def simhash60(text: UTF8String): Long = {
+    val w = text.toString.split(" ", -1)
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < w.length) {
+      val h = java.lang.Long.parseLong(md5hex(w(i)).substring(0, 15), 16)
+      var b = 0
+      while (b < 60) {
+        counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  /** Rolling 31-bit-Mersenne-ring document fingerprint in one pass —
+    * same fold as TextAnalysis.fingerprint's builtin-HOF formula
+    * (acc·1000003 + h mod p, h = tokenHash60 mod p), which interpreted the
+    * md5/conv expression tree per token.
+    */
+  def fingerprint31(text: UTF8String): Long = {
+    val p = 2147483647L // 2^31 - 1
+    val w = text.toString.split(" ", -1)
+    var acc = 0L
+    var i = 0
+    while (i < w.length) {
+      val h = java.lang.Long.parseLong(md5hex(w(i)).substring(0, 15), 16) % p
+      acc = (acc * 1000003L + h) % p
+      i += 1
+    }
+    acc
+  }
+
   /** Sign-LSH band keys over a float/double vector (sign bits are
     * scale-invariant, so no normalization needed). Same deterministic ±1
     * hyperplanes as the integer path.
@@ -230,6 +275,32 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** simhash60(text): one-pass 60-bit SimHash signature (narrow, codegen'd). */
+case class Simhash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.simhash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.simhash60($c);")
+  override protected def withNewChildInternal(newChild: Expression): Simhash60 =
+    copy(child = newChild)
+}
+
+/** fingerprint31(text): one-pass rolling Mersenne-ring fingerprint. */
+case class Fingerprint31(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint31"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.fingerprint31(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.fingerprint31($c);")
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint31 =
+    copy(child = newChild)
+}
+
 /** lsh_band_keys_fp(vec, bands, bitsPerBand): sign-LSH band keys for a
   * float/double embedding column.
   */
@@ -289,7 +360,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotLong(args.head, args(1))),
     (new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
-      (args: Seq[Expression]) => WordNgrams(args.head, intLit(args(1), "n")))
+      (args: Seq[Expression]) => WordNgrams(args.head, intLit(args(1), "n"))),
+    (new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
+      (args: Seq[Expression]) => Simhash60(args.head)),
+    (new FunctionIdentifier("fingerprint31"),
+      new ExpressionInfo(classOf[Fingerprint31].getName, "fingerprint31"),
+      (args: Seq[Expression]) => Fingerprint31(args.head))
   )
 
   /** Imperative registration for an existing session (idempotent). */

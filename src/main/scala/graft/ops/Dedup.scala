@@ -148,19 +148,12 @@ object Dedup {
     * (unweighted); bit-reproducible in DuckDB, so q13 is hash-checked
     * rather than rows-only.
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", graft.ops.TextAnalysis.tokenHash60(col("tok")))
-    // per bit: +1 if set else -1; sign of the sum is the output bit
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"),
-        (0 until SimhashBits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // one narrow codegen'd pass per doc (functions.Simhash60) — the former
+    // explode + 60-conditional-sum groupBy shuffled one row per token
+    // (OpsSpec pins kernel == expression-formula equality)
+    docs.select(col(idCol).as("id"),
+      call_function("simhash60", col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates: block on (maxHamming+1) bit-chunks — by
     * pigeonhole, any pair within `maxHamming` of SimhashBits shares at

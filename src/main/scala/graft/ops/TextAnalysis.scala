@@ -79,12 +79,11 @@ object TextAnalysis {
     * different order → different fingerprint), O(tokens), no shuffle, and
     * bit-reproducible in any engine (DuckDB oracle mirrors it exactly).
     */
-  def fingerprint(text: Column): Column = {
-    // modular rolling hash: ANSI-safe (acc < 2^31, acc*1000003 + h < 2^62)
-    val p = 2147483647L // 2^31 - 1
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => (acc * lit(1000003L) + tokenHash60(t) % lit(p)) % lit(p))
-  }
+  def fingerprint(text: Column): Column =
+    // one-pass native kernel (functions.Fingerprint31); the builtin-HOF
+    // fold it replaced interpreted the md5/conv tree per token (OpsSpec
+    // pins kernel == expression-formula equality)
+    call_function("fingerprint31", text)
 
   /** Frequency-preserving word bigrams (the codegen'd `word_ngrams` kernel
     * dedupes — repetition measurement needs multiplicity). Pure builtin

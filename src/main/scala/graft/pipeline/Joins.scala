@@ -1,8 +1,11 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stream-stream stateful joins over the turn stream (north-rule: assistant
   * tool-calls ⋈ tool responses; the reference has no joins at all —
@@ -83,5 +86,114 @@ object Joins {
       .withColumn(matchedAlias, last(col("_r"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
       .select(col("_l.*") +: Seq(col(matchedAlias)): _*)
+  }
+
+  // ------------------------- streaming as-of -------------------------
+
+  /** Envelope for the streaming as-of join: both sides in ONE keyed stream,
+    * tagged by side; the row itself rides along as an opaque payload
+    * (`to_json` of the side's columns — see `asOfEvents`).
+    */
+  final case class AsOfEvent(k: String, ts: Timestamp, tie: Long,
+      isLeft: Boolean, payload: String)
+
+  final case class AsOfJoined(k: String, ts: Timestamp, tie: Long,
+      payload: String, matched_ts: Option[Timestamp], matched_tie: Option[Long],
+      matched_payload: Option[String])
+
+  final case class AsOfRec(tsMs: Long, tie: Long, payload: String)
+
+  /** Per-key state: the latest right row at-or-below the emitted frontier
+    * (O(1) forever) plus the not-yet-ripe arrivals above it (bounded by the
+    * watermark delay × per-key event rate).
+    */
+  final case class AsOfState(lastRight: Option[AsOfRec],
+      pendingLeft: Vector[AsOfRec], pendingRight: Vector[AsOfRec],
+      frontierMs: Long)
+
+  private val emptyAsOf = AsOfState(None, Vector.empty, Vector.empty, Long.MinValue)
+
+  private def asOfProcess(k: String, it: Iterator[AsOfEvent],
+      state: GroupState[AsOfState], streaming: Boolean, strict: Boolean)
+      : Iterator[AsOfJoined] = {
+    var s = state.getOption.getOrElse(emptyAsOf)
+    // ingest: anything at or below the already-emitted frontier is late
+    // beyond the watermark contract → dropped (same rule as append windows)
+    it.foreach { e =>
+      if (!streaming || e.ts.getTime > s.frontierMs) {
+        val rec = AsOfRec(e.ts.getTime, e.tie, e.payload)
+        s = if (e.isLeft) s.copy(pendingLeft = s.pendingLeft :+ rec)
+            else s.copy(pendingRight = s.pendingRight :+ rec)
+      }
+    }
+    // drain everything the watermark has sealed: no earlier-ts arrival is
+    // possible below it, so matches are final (batch mode seals all input)
+    val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+    val out = scala.collection.mutable.Buffer[AsOfJoined]()
+    val (ripeL, waitL) = s.pendingLeft.partition(_.tsMs <= wm)
+    val (ripeR, waitR) = s.pendingRight.partition(_.tsMs <= wm)
+    val ls = ripeL.sortBy(r => (r.tsMs, r.tie))
+    val rs = ripeR.sortBy(r => (r.tsMs, r.tie))
+    var last = s.lastRight
+    var j = 0
+    ls.foreach { l =>
+      while (j < rs.length &&
+          (if (strict) rs(j).tsMs < l.tsMs else rs(j).tsMs <= l.tsMs)) {
+        last = Some(rs(j)); j += 1
+      }
+      out += AsOfJoined(k, new Timestamp(l.tsMs), l.tie, l.payload,
+        last.map(r => new Timestamp(r.tsMs)), last.map(_.tie), last.map(_.payload))
+    }
+    while (j < rs.length) { last = Some(rs(j)); j += 1 }
+    s = s.copy(lastRight = last, pendingLeft = waitL, pendingRight = waitR,
+      frontierMs = math.max(s.frontierMs, wm))
+    state.update(s)
+    if (streaming && (waitL.nonEmpty || waitR.nonEmpty)) {
+      val minPending = (waitL ++ waitR).iterator.map(_.tsMs).min
+      state.setTimeoutTimestamp(math.max(minPending, wm + 1))
+    }
+    out.iterator
+  }
+
+  /** Streaming as-of join — the event-time-correct twin of `asOfJoin`,
+    * Flink's "temporal join" recast on `flatMapGroupsWithState`. Each left
+    * event is matched against the latest right event at-or-before its
+    * timestamp (`strict=true` → strictly before) and EMITTED ONLY once the
+    * watermark passes its timestamp, so out-of-order arrival within the
+    * watermark delay cannot change a result that was already emitted:
+    * streaming output == batch `asOfJoin` on the same sealed input
+    * (EventTimeSpec pins this).
+    *
+    * Scale: per-key state is ONE retained right row plus the unripe buffer
+    * (watermark-delay-bounded); parallelism is #keys, the same sharding as
+    * every other keyed stage. `events` must carry a watermark on `ts` in
+    * streaming mode; batch mode (`streaming=false`) seals everything.
+    */
+  def asOfJoinStream(events: Dataset[AsOfEvent], streaming: Boolean = true,
+      strict: Boolean = false): Dataset[AsOfJoined] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState[AsOfState, AsOfJoined](OutputMode.Append, timeoutConf) {
+        (k, it, state) =>
+          if (state.hasTimedOut) asOfProcess(k, Iterator.empty, state, streaming, strict)
+          else asOfProcess(k, it, state, streaming, strict)
+      }
+  }
+
+  /** Build the `AsOfEvent` envelope from two DataFrames: key/ts/tie columns
+    * plus the full row as a JSON payload (read back with `from_json`).
+    */
+  def asOfEvents(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String): Dataset[AsOfEvent] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, isLeft: Boolean): DataFrame =
+      df.select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        col(tieCol).cast("long").as("tie"), lit(isLeft).as("isLeft"),
+        to_json(struct(df.columns.map(col): _*)).as("payload"))
+    side(left, isLeft = true).unionByName(side(right, isLeft = false)).as[AsOfEvent]
   }
 }

@@ -210,6 +210,54 @@ class EventTimeSpec extends SparkSpec {
     assert(got.select("conv_id", "turn_idx").distinct().count() == 4)
   }
 
+  // ---------------- streaming as-of join ----------------
+
+  test("as-of join streaming == batch; out-of-order within watermark; late-left null") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    def ts(sec: Long) = new Timestamp(t0 + sec * 1000)
+    // left (purchases-like) and right (clicks-like) with an equal-ts pair,
+    // an equal-ts right tie, and a key with no right rows at all
+    val left = Seq(("u1", ts(10), 100L), ("u1", ts(40), 101L), ("u2", ts(15), 102L),
+      ("u3", ts(25), 103L)).toDF("k", "ts", "id")
+    val right = Seq(("u1", ts(10), 200L), ("u1", ts(30), 201L), ("u1", ts(30), 205L),
+      ("u2", ts(50), 202L)).toDF("k", "ts", "id")
+    val want = Joins.asOfJoin(left, right, "k", "ts", "id")
+      .select(col("k"), col("id"), col("asof.id").as("mid"))
+
+    // deliver the envelope out-of-order across files (second file carries
+    // events OLDER than the first file's max — inside the watermark delay)
+    val env = Joins.asOfEvents(left, right, "k", "ts", "id").toDF()
+    val rows = env.as[graft.pipeline.Joins.AsOfEvent].collect().sortBy(_.tie)
+    val (f1, f2) = rows.partition(e => e.tie % 2 == 0)
+    val dir = tmpDir("asof")
+    def writeEnv(name: String, es: Seq[graft.pipeline.Joins.AsOfEvent]): Unit = {
+      val tmp = s"$dir/.tmp-$name"
+      spark.createDataset(es.toSeq).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    writeEnv("b1", f1.toSeq)
+    writeEnv("b2", f2.toSeq)
+    // watermark-advancing sentinels on an unrelated key (left side, so the
+    // final one emits nothing that collides with the checked keys)
+    writeEnv("b3", Seq(graft.pipeline.Joins.AsOfEvent("zz", ts(86400), 900L, false, "{}")))
+    writeEnv("b4", Seq(graft.pipeline.Joins.AsOfEvent("zz", ts(172800), 901L, false, "{}")))
+    val stream = spark.readStream.schema(env.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ts", "5 seconds").as[graft.pipeline.Joins.AsOfEvent]
+    val got = runToMemory(Joins.asOfJoinStream(stream).toDF(), "asof_s", "append")
+      .where(col("k") =!= "zz")
+      .select(col("k"), col("tie").as("id"), col("matched_tie").as("mid"))
+    assertSameRows(got, want, "streaming as-of == batch as-of")
+    // and the exact expected matches, independently of the batch operator
+    val m = got.collect().map(r => r.getLong(1) ->
+      (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(m == Map(100L -> 200L, 101L -> 205L, 102L -> -1L, 103L -> -1L))
+  }
+
   // ---------------- stream-stream join ----------------
 
   test("tool-call/response stream-stream join: streaming == batch") {

@@ -297,6 +297,32 @@ class OpsSpec extends SparkSpec {
     assert(a.where(col("n_tokens") <= 0).count() == 0)
   }
 
+  test("simhash60/fingerprint31 native kernels == the builtin-expression formulas") {
+    // the legacy formulas these kernels replaced, rebuilt inline: any drift
+    // would silently invalidate the q13/q19 DuckDB oracles
+    val legacySimhash = {
+      val tok = docs.select(col("doc_id").as("id"),
+        explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", TextAnalysis.tokenHash60(col("tok")))
+      val bitSums = (0 until Dedup.SimhashBits).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      }
+      tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("id"),
+          (0 until Dedup.SimhashBits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+    }
+    assertSameRows(Dedup.simhash(docs), legacySimhash, "simhash60 kernel")
+    val p = 2147483647L
+    val legacyFp = docs.select(col("doc_id"),
+      aggregate(split(col("text"), " "), lit(0L),
+        (acc, t) => (acc * lit(1000003L) + TextAnalysis.tokenHash60(t) % lit(p)) % lit(p))
+        .as("fingerprint"))
+    assertSameRows(
+      docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint")),
+      legacyFp, "fingerprint31 kernel")
+  }
+
   test("as-of join: latest at-or-before match, equal-ts + tie rules, null when none") {
     import spark.implicits._
     import graft.pipeline.Joins
