@@ -52,7 +52,10 @@ object SparkEntry {
     "q29_repetition" -> (Queries.q29Repetition _),
     "q30_vocab" -> (Queries.q30Vocab _),
     "q31_tfidf" -> (Queries.q31TfIdf _),
-    "q32_decontaminate" -> (Queries.q32Decontaminate _)
+    "q32_decontaminate" -> (Queries.q32Decontaminate _),
+    "q33_percentiles" -> (Queries.q33Percentiles _),
+    "q34_retention" -> (Queries.q34Retention _),
+    "q35_stratified_sample" -> (Queries.q35StratifiedSample _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -364,6 +367,31 @@ object SparkEntry {
         |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+    // q33 mirror: quantile_cont uses the same (n-1)·q linear interpolation
+    // as Spark's exact percentile; no accumulation-order float risk (the
+    // interpolation reads two sorted values).
+    "q33_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q34_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |act AS (SELECT d, count(*) AS n_active FROM ud GROUP BY d),
+        |ret AS (SELECT a.d, count(*) AS n_retained
+        |        FROM ud a JOIN ud b
+        |          ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+        |        GROUP BY a.d)
+        |SELECT act.d, act.n_active, coalesce(ret.n_retained, 0) AS n_retained
+        |FROM act LEFT JOIN ret ON act.d = ret.d""".stripMargin,
+    // q35 mirror: same md5 60-bit hash; thresholds are floor(num·2^60/den):
+    // 1/2 → 2^59, 1/4 → 2^58, default 1/8 → 2^57.
+    "q35_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5('s0:' || doc_id), 1, 15))::UBIGINT::BIGINT
+        |      < CASE source WHEN 'src0' THEN 576460752303423488
+        |                    WHEN 'src1' THEN 288230376151711744
+        |                    ELSE 144115188075855872 END""".stripMargin,
     // q23 mirror: modality routing, payload byte counts, and frame sampling
     // are pure integer arithmetic over the UTF-8 text payload
     // (Multimodal.mediaFromDocuments / sampleFrames); the float feature

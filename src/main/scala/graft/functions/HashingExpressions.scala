@@ -188,6 +188,28 @@ object HashingKernels {
     acc
   }
 
+  /** Fraction of bigram occurrences taken by the single most frequent
+    * bigram, in one pass per document (local hash map) — replaces the
+    * explode + (doc, gram) + (doc) double aggregation, making the whole
+    * repetition report narrow. 0.0 for sub-2-token docs. The raw IEEE
+    * division max/total is returned; display rounding stays in the column
+    * expression so it matches the DuckDB oracle's round exactly.
+    */
+  def topBigramFrac(text: UTF8String): Double = {
+    val w = text.toString.split(" ", -1)
+    if (w.length < 2) return 0.0
+    val counts = new java.util.HashMap[String, Int]((w.length * 2) max 16)
+    var maxC = 0
+    var i = 0
+    while (i < w.length - 1) {
+      val g = w(i) + " " + w(i + 1)
+      val c = counts.merge(g, 1, (a, b) => a + b)
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    maxC.toDouble / (w.length - 1)
+  }
+
   /** Sign-LSH band keys over a float/double vector (sign bits are
     * scale-invariant, so no normalization needed). Same deterministic ±1
     * hyperplanes as the integer path.
@@ -288,6 +310,19 @@ case class Simhash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** top_bigram_frac(text): most-frequent-bigram occurrence fraction. */
+case class TopBigramFrac(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "top_bigram_frac"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.topBigramFrac(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.topBigramFrac($c);")
+  override protected def withNewChildInternal(newChild: Expression): TopBigramFrac =
+    copy(child = newChild)
+}
+
 /** fingerprint31(text): one-pass rolling Mersenne-ring fingerprint. */
 case class Fingerprint31(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -366,7 +401,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => Simhash60(args.head)),
     (new FunctionIdentifier("fingerprint31"),
       new ExpressionInfo(classOf[Fingerprint31].getName, "fingerprint31"),
-      (args: Seq[Expression]) => Fingerprint31(args.head))
+      (args: Seq[Expression]) => Fingerprint31(args.head)),
+    (new FunctionIdentifier("top_bigram_frac"),
+      new ExpressionInfo(classOf[TopBigramFrac].getName, "top_bigram_frac"),
+      (args: Seq[Expression]) => TopBigramFrac(args.head))
   )
 
   /** Imperative registration for an existing session (idempotent). */

@@ -296,6 +296,32 @@ object Dedup {
       concat(lit(salt), lit(":"), col(idCol).cast("string"))) < threshold)
   }
 
+  /** Stratified deterministic sampling: per-stratum rates as EXACT
+    * rationals (num/den), applied through the same salted 60-bit content
+    * hash as `hashSample` — reproducible across engines, partitionings and
+    * reruns, and a doc keeps/loses membership monotonically as its
+    * stratum's rate moves (nested samples for curriculum mixes). Strata
+    * not in `rates` fall back to `defaultRate`. Narrow filter: threshold
+    * selection is one CASE over the stratum column, no shuffle, no joins —
+    * the standard per-source mixing-weights primitive of corpus building.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      rates: Map[String, (Long, Long)], defaultRate: (Long, Long) = (0L, 1L),
+      salt: String = "s0", idCol: String = "doc_id"): DataFrame = {
+    def thr(r: (Long, Long)): Long = {
+      val (num, den) = r
+      require(num >= 0 && den > 0 && num <= den, s"rate must be in [0,1]: $num/$den")
+      // floor(num * 2^60 / den) — exact in BigInteger, fits a long
+      java.math.BigInteger.valueOf(num).shiftLeft(60)
+        .divide(java.math.BigInteger.valueOf(den)).longValueExact()
+    }
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(lit(thr(defaultRate))) {
+      case ((stratum, r), acc) => when(col(strataCol) === stratum, lit(thr(r))).otherwise(acc)
+    }
+    df.where(graft.ops.TextAnalysis.tokenHash60(
+      concat(lit(salt), lit(":"), col(idCol).cast("string"))) < threshold)
+  }
+
   /** Sign-LSH band count sized FROM the threshold: the smallest `bands`
     * such that a pair at cosine exactly `t` collides in ≥1 band with
     * probability ≥ 1 − targetMiss (collision per band = p^bits with

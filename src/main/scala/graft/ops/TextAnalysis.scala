@@ -112,20 +112,16 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val w = tokens(t)
-    val base = docs.select(col(idCol),
+    // fully narrow: the top-bigram fraction runs as the one-pass codegen'd
+    // top_bigram_frac kernel (0.0 for sub-2-token docs), so the whole
+    // report is a single projection — no explode, no shuffle, no join
+    // (the explode + double-aggregate shape it replaced was 5.5 s at sf0.1;
+    // OpsSpec pins kernel == aggregate-formula equality)
+    docs.select(col(idCol),
       size(w).cast("long").as("n_words"),
       round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 4)
-        .as("dup_word_frac"))
-    val topBigram = docs
-      .select(col(idCol), explode(bigramsWithMultiplicity(t)).as("gram"))
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(round(max(col("c")).cast("double") / sum(col("c")), 4)
-        .as("top_bigram_frac"))
-    // left join: a sub-2-token doc has no bigrams — keep it at 0.0 rather
-    // than dropping it from the report
-    base.join(topBigram, Seq(idCol), "left")
-      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+        .as("dup_word_frac"),
+      round(call_function("top_bigram_frac", t), 4).as("top_bigram_frac"))
   }
 
   /** Corpus vocabulary: top-k tokens by frequency, ties broken by token —

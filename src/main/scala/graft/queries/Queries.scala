@@ -290,6 +290,46 @@ object Queries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** q33: exact per-group percentiles (p50/p95 of event value). Exact
+    * `percentile` is a per-group sort — correct up to the low-cardinality-
+    * groups regime (5 event types here, each group a parallel sort); a
+    * 100 TB high-cardinality rollup swaps in `approx_percentile` with the
+    * same query shape (t-digest mergeable sketch, map-side combine).
+    */
+  def q33Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+
+  /** q34: day-over-day retention — for each activity date, distinct active
+    * users and how many are active again the next day. distinct (user, day)
+    * grid + a self equi-join on (user, day+1): both shuffle on composite
+    * keys, no window over the whole user history.
+    */
+  def q34Retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = table(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val act = ud.groupBy(col("d")).agg(count(lit(1)).as("n_active"))
+    val ret = ud.as("a")
+      .join(ud.as("b"),
+        col("a.user_id") === col("b.user_id") && col("b.d") === date_add(col("a.d"), 1))
+      .groupBy(col("a.d").as("d")).agg(count(lit(1)).as("n_retained"))
+    act.join(ret, Seq("d"), "left")
+      .select(col("d"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+  }
+
+  /** q35: stratified deterministic sampling — per-source mixing rates
+    * (src0→1/2, src1→1/4, others 1/8), exact rational thresholds.
+    */
+  def q35StratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.stratifiedSample(table(spark, sfDir, "documents"), "source",
+      Map("src0" -> ((1L, 2L)), "src1" -> ((1L, 4L))), defaultRate = (1L, 8L))
+      .select(col("doc_id"), col("source"))
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

@@ -321,6 +321,16 @@ class OpsSpec extends SparkSpec {
     assertSameRows(
       docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint")),
       legacyFp, "fingerprint31 kernel")
+    val legacyTopBigram = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.bigramsWithMultiplicity(col("text"))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_bigram_frac"))
+    assertSameRows(
+      docs.select(col("doc_id"),
+        round(call_function("top_bigram_frac", col("text")), 4).as("top_bigram_frac")),
+      legacyTopBigram, "top_bigram_frac kernel")
   }
 
   test("as-of join: latest at-or-before match, equal-ts + tie rules, null when none") {
@@ -382,6 +392,27 @@ class OpsSpec extends SparkSpec {
     val kept = Dedup.decontaminate(corpus, benchmark, n = 8)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L))
+  }
+
+  test("stratified sampling: nested membership, per-stratum rates, repartition-invariant") {
+    val full = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val half = Dedup.stratifiedSample(full, "source", Map.empty, defaultRate = (1L, 2L))
+    val quarter = Dedup.stratifiedSample(full, "source", Map.empty, defaultRate = (1L, 4L))
+    // nested: shrinking a stratum's rate only removes docs, never swaps them
+    val qIds = quarter.select("doc_id").collect().map(_.getLong(0)).toSet
+    val hIds = half.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(qIds.subsetOf(hIds), "1/4 sample must nest inside 1/2 sample")
+    assert(math.abs(hIds.size / 500.0 - 0.5) < 0.1, s"~50%: ${hIds.size}")
+    // per-stratum rates apply independently; result is partition-invariant
+    val mixed = Dedup.stratifiedSample(full, "source",
+      Map("src0" -> ((1L, 1L))), defaultRate = (0L, 1L))
+    assert(mixed.select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("src0"))
+    assert(mixed.count() == full.where(col("source") === "src0").count())
+    assertSameRows(Dedup.stratifiedSample(full.repartition(13), "source",
+      Map("src0" -> ((1L, 2L))), defaultRate = (1L, 8L)),
+      Dedup.stratifiedSample(full, "source",
+        Map("src0" -> ((1L, 2L))), defaultRate = (1L, 8L)),
+      "partition-invariant")
   }
 
   test("multimodal: deterministic features, fixed dim, partition-local") {

@@ -120,6 +120,21 @@ class PlanSpec extends SparkSpec {
     assert(!badExchange, "no shuffle of document text:\n" + p.take(800))
   }
 
+  test("q29: repetition report is a single narrow projection (no shuffle, no join)") {
+    val dir = tmpDir("q29plan")
+    spark.read.parquet(s"$sf/documents.parquet").write.parquet(s"$dir/documents.parquet")
+    val p = plan(Queries.q29Repetition(spark, dir))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "repetition stats must be narrow:\n" + p.take(600))
+  }
+
+  test("q34: retention self-join is an equi-join with partial aggregation") {
+    val p = plan(Queries.q34Retention(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "retention must be equi-join shaped:\n" + p.take(600))
+    assert(p.contains("partial_count"), p.take(600))
+  }
+
   test("CDC routed projection stays narrow (no exchange before the sink shuffle)") {
     import graft.pipeline.CdcPipeline
     val df = graft.source.ChangeStreamReader.batch(spark,
