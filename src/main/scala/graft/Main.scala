@@ -12,7 +12,7 @@ import graft.source.TranscriptGen.GenConfig
   * Subcommands:
   *   gen <tableDir> [numConvs] [avgTurns] [zipf]   — synthesize the transcript table
   *   run <tableDir> <workDir> [maxFilesPerTrigger] — snapshot+incremental CDC replay
-  *   materialize <workDir>                          — current-state table + counts
+  *   materialize <workDir> [asOfBatch]              — current-state table + counts (time travel)
   *   lineage <workDir>                              — per-partition commit lineage
   */
 object Main {
@@ -38,11 +38,16 @@ object Main {
         val sec = (System.nanoTime() - t0) / 1e9
         val n = ChangeStreamReader.batch(spark, streamDir).count()
         println(f"[run] events=$n elapsed=$sec%.1fs throughput=${n / sec}%.0f events/s")
-      case "materialize" :: workDir :: Nil =>
-        val state = CdcPipeline.stableOrdered(CdcPipeline.materialize(spark, s"$workDir/out"))
+      case "materialize" :: workDir :: rest =>
+        // optional trailing batch id = snapshot time travel over the commit
+        // lineage (only batches ≤ id are visible)
+        val asOf = rest.headOption.map(_.toLong)
+        val state = CdcPipeline.stableOrdered(
+          CdcPipeline.materialize(spark, s"$workDir/out", asOfBatch = asOf))
         state.write.mode("overwrite").parquet(s"$workDir/state")
         val df = spark.read.parquet(s"$workDir/state")
-        println(s"[materialize] rows=${df.count()} convs=${df.select("conv_id").distinct().count()}")
+        println(s"[materialize] rows=${df.count()} convs=${df.select("conv_id").distinct().count()}" +
+          asOf.fold("")(b => s" asOfBatch=$b"))
       case "cep" :: workDir :: Nil =>
         val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
         val turns = pipeline.Windows.turnsFromEvents(sink.readCommitted("events").get)

@@ -436,7 +436,10 @@ object Dedup {
     require(tNum > 0 && tDen >= tNum, "threshold must be a rational in (0, 1]")
     val nBands = if (bands > 0) bands
       else lshBandsFor(tNum.toDouble / tDen, bitsPerBand)
-    val emb = hashedEmbeddings(docs, dims, n, idCol, textCol)
+    // cached: the embedding projection (md5 per distinct gram — the hot
+    // kernel) feeds three branches (band keys + both verify sides); without
+    // the cache it is recomputed per branch
+    val emb = hashedEmbeddings(docs, dims, n, idCol, textCol).cache()
     val keys = emb.select(col("id"),
         posexplode(call_function("lsh_band_keys", col("v"), lit(nBands), lit(bitsPerBand))))
       .toDF("id", "band", "key")

@@ -195,10 +195,10 @@ object CdcPipeline {
     * (turn_idx, ts) ordering).
     */
   def materialize(spark: SparkSession, outDir: String,
-      table: Option[String] = None): Dataset[Turn] = {
+      table: Option[String] = None, asOfBatch: Option[Long] = None): Dataset[Turn] = {
     import spark.implicits._
     val sink = new ExactlyOnceSink(spark, outDir)
-    val events = sink.readCommitted("events", table)
+    val events = sink.readCommitted("events", table, asOfBatch)
       .getOrElse(throw new IllegalStateException(s"no committed batches in $outDir"))
     val keyed = events.select(
       coalesce($"after.conv_id", $"before.conv_id").as("k_conv"),

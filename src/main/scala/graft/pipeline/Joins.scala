@@ -132,8 +132,12 @@ object Joins {
     val out = scala.collection.mutable.Buffer[AsOfJoined]()
     val (ripeL, waitL) = s.pendingLeft.partition(_.tsMs <= wm)
     val (ripeR, waitR) = s.pendingRight.partition(_.tsMs <= wm)
-    val ls = ripeL.sortBy(r => (r.tsMs, r.tie))
-    val rs = ripeR.sortBy(r => (r.tsMs, r.tie))
+    // distinct: an at-least-once upstream may redeliver an event inside the
+    // watermark window — identical (ts, tie, payload) records collapse so
+    // replay cannot double-emit a match (redelivery BELOW the frontier is
+    // already dropped at ingest)
+    val ls = ripeL.distinct.sortBy(r => (r.tsMs, r.tie))
+    val rs = ripeR.distinct.sortBy(r => (r.tsMs, r.tie))
     var last = s.lastRight
     var j = 0
     ls.foreach { l =>

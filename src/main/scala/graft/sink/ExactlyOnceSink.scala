@@ -130,12 +130,16 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String,
   /** Committed view of one logical output (route partition pruning makes
     * this a selective directory read). `table` additionally prunes to one
     * `source.table` partition — the per-table sink view of the reference's
-    * TableFilter fan-out.
+    * TableFilter fan-out. `asOfBatch` is snapshot time travel over the
+    * commit lineage (Iceberg-style): only batches committed with id ≤ it
+    * are visible, so any historical consistent state can be re-read — pure
+    * manifest filtering, no data rewrite, no extra I/O.
     */
-  def readCommitted(section: String, table: Option[String] = None): Option[DataFrame] = {
+  def readCommitted(section: String, table: Option[String] = None,
+      asOfBatch: Option[Long] = None): Option[DataFrame] = {
     val route = sectionRoute.getOrElse(section,
       throw new IllegalArgumentException(s"unknown section $section"))
-    val ids = committedBatchIds
+    val ids = asOfBatch.fold(committedBatchIds)(b => committedBatchIds.filter(_ <= b))
     val dirs = ids.map(batchDir).filter(d => fs.exists(new Path(d)))
     if (dirs.isEmpty) None
     else {

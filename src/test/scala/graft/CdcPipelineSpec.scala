@@ -103,10 +103,20 @@ class CdcPipelineSpec extends SparkSpec {
     // run 2: first two change segments arrive, resume from the same checkpoint
     ChangeStreamReader.deliverChanges(spark, tableDir, streamDir, p => p <= 1)
     CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+    val midBatch = new ExactlyOnceSink(spark, outDir).committedBatchIds.max
+    val midState = CdcPipeline.materialize(spark, outDir).toDF().collect().toSeq
 
     // run 3: final segment
     ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
     CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+
+    // snapshot time travel: materializing as-of the mid-run commit frontier
+    // reproduces the exact state that existed then, byte-for-byte, from the
+    // final sink (pure manifest filtering over the lineage)
+    val travel = CdcPipeline.materialize(spark, outDir, asOfBatch = Some(midBatch))
+      .toDF().collect().toSeq
+    assert(travel.map(_.toString).sorted == midState.map(_.toString).sorted,
+      "as-of materialization == historical state")
 
     assertSameRows(
       CdcPipeline.materialize(spark, outDir).toDF(),

@@ -256,6 +256,29 @@ class EventTimeSpec extends SparkSpec {
     val m = got.collect().map(r => r.getLong(1) ->
       (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
     assert(m == Map(100L -> 200L, 101L -> 205L, 102L -> -1L, 103L -> -1L))
+
+    // at-least-once redelivery: replaying batch 1's events inside the
+    // watermark window must not double-emit matches
+    val dir2 = tmpDir("asofdup")
+    def writeEnv2(name: String, es: Seq[graft.pipeline.Joins.AsOfEvent]): Unit = {
+      val tmp = s"$dir2/.tmp-$name"
+      spark.createDataset(es.toSeq).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir2/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    writeEnv2("b1", f1.toSeq)
+    writeEnv2("b2", (f2 ++ f1).toSeq) // full redelivery of b1 alongside b2
+    writeEnv2("b3", Seq(graft.pipeline.Joins.AsOfEvent("zz", ts(86400), 900L, false, "{}")))
+    writeEnv2("b4", Seq(graft.pipeline.Joins.AsOfEvent("zz", ts(172800), 901L, false, "{}")))
+    val stream2 = spark.readStream.schema(env.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir2)
+      .withWatermark("ts", "5 seconds").as[graft.pipeline.Joins.AsOfEvent]
+    val got2 = runToMemory(Joins.asOfJoinStream(stream2).toDF(), "asof_dup", "append")
+      .where(col("k") =!= "zz")
+      .select(col("k"), col("tie").as("id"), col("matched_tie").as("mid"))
+    assertSameRows(got2, want, "redelivered stream still == batch")
   }
 
   // ---------------- stream-stream join ----------------
