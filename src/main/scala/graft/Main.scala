@@ -121,6 +121,11 @@ object Main {
           col("ts_ms"), col("after")), "monitor", everyN = everyN, counter = Some(acc))
         tapped.write.format("noop").mode("overwrite").save()
         println(s"[monitor] events=${acc.value} sampledEvery=$everyN")
+      case "compact" :: workDir :: rest =>
+        val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
+        val upTo = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)
+        val c = sink.compact(upTo)
+        println(s"[compact] epoch=$c liveBatches=${sink.committedBatchIds.size}")
       case "lineage" :: workDir :: Nil =>
         val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
         sink.readManifest() match {

@@ -49,15 +49,32 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String,
 
   private def batchDir(batchId: Long) = s"$outDir/events/batch=$batchId"
 
-  def isCommitted(batchId: Long): Boolean = fs.exists(manifestPath(batchId))
+  private def compactDir(c: Long) = s"$outDir/events/batch=$c-compact"
+
+  /** Highest compaction epoch: batches with id ≤ it live (bin-packed) in
+    * `compactDir` and their per-batch manifests are retired.
+    */
+  def epochFloor: Option[Long] = {
+    val dir = new Path(s"$outDir/_manifest")
+    if (!fs.exists(dir)) None
+    else fs.globStatus(new Path(s"$outDir/_manifest/epoch-*.json"))
+      .map(_.getPath.getName.stripPrefix("epoch-").stripSuffix(".json").toLong)
+      .sorted.lastOption
+  }
+
+  def isCommitted(batchId: Long): Boolean =
+    fs.exists(manifestPath(batchId)) || epochFloor.exists(batchId <= _)
 
   def committedBatchIds: Seq[Long] = {
     val dir = new Path(s"$outDir/_manifest")
     if (!fs.exists(dir)) Seq.empty
-    else
+    else {
+      val floor = epochFloor
       fs.globStatus(new Path(s"$outDir/_manifest/batch-*.json"))
         .map(_.getPath.getName.stripPrefix("batch-").stripSuffix(".json").toLong)
+        .filter(id => floor.forall(id > _))
         .sorted.toSeq
+    }
   }
 
   /** Single-pass write of a routed, time-bucketed batch. `df` must carry
@@ -69,7 +86,10 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String,
     * bucket fans out over `salt` writers, and file count stays
     * buckets × salt — still independent of input size.
     */
-  def writeBatch(batchId: Long, df: DataFrame): Unit = {
+  def writeBatch(batchId: Long, df: DataFrame): Unit =
+    writeDir(batchDir(batchId), df)
+
+  private def writeDir(dir: String, df: DataFrame): Unit = {
     // RANGE partition on (route, p_date, salt): task load is volume-
     // proportional (a hot date spans several consecutive tasks, light dates
     // share one), parallelism is 2×cores regardless of bucket skew, and
@@ -86,7 +106,7 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String,
       // rolling policy S3Sink.scala:116-120, recast as a record cap
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("route", "src_table", "p_date")
-      .parquet(batchDir(batchId))
+      .parquet(dir)
   }
 
   /** Compute lineage from the written batch dir (column-pruned: reads only
@@ -139,12 +159,18 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String,
       asOfBatch: Option[Long] = None): Option[DataFrame] = {
     val route = sectionRoute.getOrElse(section,
       throw new IllegalArgumentException(s"unknown section $section"))
+    val floor = epochFloor
+    asOfBatch.foreach(a => require(floor.forall(a >= _),
+      s"asOfBatch=$a predates the compaction epoch ${floor.get} — that history was compacted away"))
     val ids = asOfBatch.fold(committedBatchIds)(b => committedBatchIds.filter(_ <= b))
-    val dirs = ids.map(batchDir).filter(d => fs.exists(new Path(d)))
+    val dirs = (floor.map(compactDir).toSeq ++ ids.map(batchDir))
+      .filter(d => fs.exists(new Path(d)))
     if (dirs.isEmpty) None
     else {
+      // the `batch` partition-discovery column is internal dir naming
+      // (compaction renames it) — never part of the committed content
       val df = spark.read.option("basePath", s"$outDir/events").parquet(dirs: _*)
-        .where(col("route") === route)
+        .where(col("route") === route).drop("batch")
       Some(table.fold(df)(t => df.where(col("src_table") === t)))
     }
   }
@@ -159,9 +185,76 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String,
       _.select("src_table").distinct().collect().map(_.getString(0)).sorted.toSeq)
       .getOrElse(Seq.empty)
 
-  /** The lineage manifest as a DataFrame (metrics / audits). */
+  /** The lineage manifest as a DataFrame (metrics / audits): live per-batch
+    * manifests plus the compaction epoch's aggregated lineage.
+    */
   def readManifest(): Option[DataFrame] = {
-    if (committedBatchIds.isEmpty) None
-    else Some(spark.read.json(s"$outDir/_manifest/batch-*.json"))
+    val globs = Seq(s"$outDir/_manifest/batch-*.json", s"$outDir/_manifest/epoch-*.json")
+      .filter(g => fs.globStatus(new Path(g)).nonEmpty)
+    if (globs.isEmpty) None else Some(spark.read.json(globs: _*))
+  }
+
+  /** Log compaction (Iceberg `rewrite_data_files`-style bin-packing):
+    * rewrite every live batch with id ≤ `upToBatch` into ONE compacted
+    * snapshot directory and retire their per-batch manifests behind a
+    * single epoch marker. CONTENT-PRESERVING — `readCommitted` returns
+    * byte-identical rows before and after (a test pins it); what changes is
+    * the file and manifest count, which over a 10^12-turn run would
+    * otherwise grow without bound (one manifest + ≥1 file per micro-batch).
+    *
+    * Crash-safe by the same single-rename rule as `commit`:
+    * staging dir → final dir → epoch marker rename is the ONLY visibility
+    * flip (readers never glob data dirs — they follow manifests), and a
+    * crash at any earlier point leaves an invisible orphan that the next
+    * compaction overwrites. Cleanup of retired dirs/manifests runs AFTER
+    * the flip; a crash mid-cleanup leaves unreferenced files only.
+    *
+    * Time travel: `asOfBatch` below the epoch floor is refused (that
+    * history is physically merged); at or above it works unchanged.
+    * Returns the new epoch floor.
+    */
+  def compact(upToBatch: Long = Long.MaxValue): Long = {
+    val floor = epochFloor
+    val eligible = committedBatchIds.filter(_ <= upToBatch)
+    require(eligible.nonEmpty, "compact: no live batches at or below upToBatch")
+    val c = eligible.max
+    val srcDirs = (floor.map(compactDir).toSeq ++ eligible.map(batchDir))
+      .filter(d => fs.exists(new Path(d)))
+    val staging = s"$outDir/events/.staging-compact-$c"
+    fs.delete(new Path(staging), true)
+    val df = spark.read.option("basePath", s"$outDir/events").parquet(srcDirs: _*)
+      .drop("batch") // partition-discovery column of the source dirs
+    writeDir(staging, df)
+    val dst = new Path(compactDir(c))
+    fs.delete(dst, true) // orphan from a crashed earlier attempt at the same c
+    if (!fs.rename(new Path(staging), dst))
+      throw new java.io.IOException(s"compaction rename failed for epoch $c")
+    // aggregated lineage of the compacted snapshot (same shape as commit)
+    val lineage = spark.read.option("basePath", compactDir(c)).parquet(compactDir(c))
+      .groupBy(concat_ws("/", col("route"), col("src_table"), col("p_date")).as("part"))
+      .agg(count(lit(1)).as("rows"),
+        coalesce(min(col("source.lsn")), lit(-1L)).as("minLsn"),
+        coalesce(max(col("source.lsn")), lit(-1L)).as("maxLsn"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val tmp = new Path(f"$outDir/_manifest/.tmp-epoch-$c%09d.json")
+    val marker = new Path(f"$outDir/_manifest/epoch-$c%09d.json")
+    val body = lineage.map { case (part, rows, minLsn, maxLsn) =>
+      s"""{"batchId":$c,"partition":"$part","rowCount":$rows,"minLsn":$minLsn,"maxLsn":$maxLsn,"compacted":true}"""
+    }.mkString("\n")
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes("UTF-8")); out.close()
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"epoch marker rename failed for $c")
+    // ---- visibility flipped; everything below is lazy cleanup ----
+    eligible.foreach { id =>
+      fs.delete(new Path(batchDir(id)), true)
+      fs.delete(manifestPath(id), false)
+    }
+    floor.foreach { f =>
+      fs.delete(new Path(compactDir(f)), true)
+      fs.delete(new Path(f"$outDir/_manifest/epoch-$f%09d.json"), false)
+    }
+    c
   }
 }

@@ -134,6 +134,59 @@ class CdcPipelineSpec extends SparkSpec {
     assert(ev.count() == uniq)
   }
 
+  test("log compaction: content-preserving epoch rewrite; resume and time travel intact") {
+    val tableDir = tmpDir("tablec")
+    val streamDir = tmpDir("streamc")
+    val outDir = tmpDir("outc")
+    val ckDir = tmpDir("ckc")
+    TranscriptGen.writeTable(spark, cfg, tableDir)
+
+    // two runs → several committed batches
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir, p => p <= 1)
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+
+    val sink = new ExactlyOnceSink(spark, outDir)
+    val beforeBatches = sink.committedBatchIds
+    assert(beforeBatches.size >= 2)
+    def snap(): Seq[String] =
+      sink.readCommitted("events").get.collect().map(_.toString).sorted.toSeq
+    val contentBefore = snap()
+    val stateBefore = CdcPipeline.materialize(spark, outDir).toDF().collect()
+      .map(_.toString).sorted.toSeq
+
+    val epoch = sink.compact()
+    assert(epoch == beforeBatches.max)
+    assert(sink.committedBatchIds.isEmpty, "all per-batch manifests retired")
+    assert(snap() == contentBefore, "compaction must preserve committed content")
+    assert(CdcPipeline.materialize(spark, outDir).toDF().collect()
+      .map(_.toString).sorted.toSeq == stateBefore)
+    // time travel at/above the floor works; below it is refused
+    assert(CdcPipeline.materialize(spark, outDir, asOfBatch = Some(epoch)).count() > 0)
+    intercept[IllegalArgumentException] {
+      sink.readCommitted("events", asOfBatch = Some(epoch - 1))
+    }
+    // the lineage survives in the epoch manifest (error route included)
+    assert(sink.readManifest().get.where(col("compacted") === true).count() > 0)
+
+    // resume continues past the epoch: new batches commit with higher ids
+    // and the final state equals the oracle
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+    assert(sink.committedBatchIds.nonEmpty && sink.committedBatchIds.min > epoch)
+    assertSameRows(
+      CdcPipeline.materialize(spark, outDir).toDF(),
+      TranscriptGen.finalState(spark, cfg).toDF(),
+      "post-compaction resumed state")
+    // second compaction folds the old epoch + new batches
+    val epoch2 = sink.compact()
+    assert(epoch2 > epoch)
+    assertSameRows(
+      CdcPipeline.materialize(spark, outDir).toDF(),
+      TranscriptGen.finalState(spark, cfg).toDF(),
+      "state after second compaction")
+  }
+
   test("multi-table routing: one pass fans out to per-table partitions") {
     import spark.implicits._
     val outDir = tmpDir("mt")

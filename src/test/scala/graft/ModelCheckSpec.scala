@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+import graft.pipeline.Joins
+
+/** Seeded randomized model checks: each operator is compared against a
+  * direct in-memory reference implementation over many generated cases —
+  * the fixture corpora can't reach every tie/edge regime, generated inputs
+  * do (deterministic seeds, so failures reproduce).
+  */
+class ModelCheckSpec extends SparkSpec {
+
+  test("as-of join == per-key reference model over random ties and gaps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (round <- 0 until 5) {
+      val nL = 40 + rnd.nextInt(40)
+      val nR = 40 + rnd.nextInt(40)
+      // few keys + tiny ts range → dense equal-ts collisions
+      val left = (0 until nL).map(i =>
+        (s"k${rnd.nextInt(4)}", rnd.nextInt(12).toLong, 1000L + i))
+      val right = (0 until nR).map(i =>
+        (s"k${rnd.nextInt(5)}", rnd.nextInt(12).toLong, 2000L + i))
+      val strict = round % 2 == 1
+      val got = Joins.asOfJoin(
+        left.toDF("k", "t", "id"), right.toDF("k", "t", "id"),
+        "k", "t", "id", strict = strict)
+        .select(col("id"), col("asof.id"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val want = left.map { case (k, t, id) =>
+        val cand = right.filter(r => r._1 == k && (if (strict) r._2 < t else r._2 <= t))
+        id -> (if (cand.isEmpty) -1L else cand.maxBy(r => (r._2, r._3))._3)
+      }.toMap
+      assert(got == want, s"round=$round strict=$strict")
+    }
+  }
+
+  test("dedup clustering == union-find reference on random graphs (both paths)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    for (round <- 0 until 4) {
+      val nodes = 5 + rnd.nextInt(25)
+      val edges = (0 until nodes * 2).map { _ =>
+        (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        // reference union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        // driver union-find path AND the distributed propagation path
+        for (cap <- Seq(Long.MaxValue, 0L)) {
+          val got = Dedup.dedupClusters(edges.toDF("id1", "id2"), driverMaxEdges = cap)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == want, s"round=$round cap=$cap")
+        }
+      }
+    }
+  }
+
+  test("top_bigram_frac kernel == direct count model on random token strings") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 50) {
+      val n = 1 + rnd.nextInt(30)
+      val words = (0 until n).map(_ => s"w${rnd.nextInt(4)}")
+      val text = words.mkString(" ")
+      val got = graft.functions.HashingKernels.topBigramFrac(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val want =
+        if (n < 2) 0.0
+        else {
+          val bi = words.sliding(2).map(_.mkString(" ")).toSeq
+          bi.groupBy(identity).values.map(_.size).max.toDouble / bi.size
+        }
+      assert(got == want, s"text='$text'")
+    }
+  }
+
+  test("stratified sampling: monotone nesting across random rational rates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rnd = new scala.util.Random(2026)
+    val rates = (0 until 5).map(_ => (1L + rnd.nextInt(7), 8L)).sortBy(r => r._1)
+    val idSets = rates.map { r =>
+      Dedup.stratifiedSample(docs, "source", Map.empty, defaultRate = r)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    idSets.sliding(2).foreach {
+      case Seq(lo, hi) => assert(lo.subsetOf(hi), "rate increase must only add docs")
+      case _ =>
+    }
+  }
+}
