@@ -131,7 +131,8 @@ object Main {
         sink.readManifest() match {
           case Some(m) =>
             m.orderBy(col("batchId"), col("partition")).show(50, truncate = false)
-            println(s"[lineage] batches=${sink.committedBatchIds.size}")
+            println(s"[lineage] batches=${sink.committedBatchIds.size}" +
+              sink.epochFloor.fold("")(e => s" epoch=$e"))
           case None => println("[lineage] no committed batches")
         }
       case other =>
