@@ -55,7 +55,9 @@ object SparkEntry {
     "q32_decontaminate" -> (Queries.q32Decontaminate _),
     "q33_percentiles" -> (Queries.q33Percentiles _),
     "q34_retention" -> (Queries.q34Retention _),
-    "q35_stratified_sample" -> (Queries.q35StratifiedSample _)
+    "q35_stratified_sample" -> (Queries.q35StratifiedSample _),
+    "q36_cube" -> (Queries.q36Cube _),
+    "q37_funnel" -> (Queries.q37Funnel _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -392,6 +394,23 @@ object SparkEntry {
         |      < CASE source WHEN 'src0' THEN 576460752303423488
         |                    WHEN 'src1' THEN 288230376151711744
         |                    ELSE 144115188075855872 END""".stripMargin,
+    // q36 mirror: integer-cents trick for the float sum (see q20).
+    "q36_cube" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS total_value
+        |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
+    "q37_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin,
     // q23 mirror: modality routing, payload byte counts, and frame sampling
     // are pure integer arithmetic over the UTF-8 text payload
     // (Multimodal.mediaFromDocuments / sampleFrames); the float feature

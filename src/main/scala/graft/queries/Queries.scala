@@ -330,6 +330,33 @@ object Queries {
       Map("src0" -> ((1L, 2L)), "src1" -> ((1L, 4L))), defaultRate = (1L, 8L))
       .select(col("doc_id"), col("source"))
 
+  /** q36: CUBE aggregation — all grouping-set combinations of
+    * (event_type, day) in one pass (rollup's bigger sibling, q20).
+    */
+  def q36Cube(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .cube(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sumCents(col("value")).as("total_value"))
+
+  /** q37: ordered funnel — users with a view, then a click strictly after
+    * their FIRST view, then a purchase strictly after that first
+    * qualifying click. Each stage is one aggregate + equi-join on user_id
+    * (no window over full per-user histories, no cross join) — the
+    * conversion-funnel primitive at event-log scale.
+    */
+  def q37Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+    def stage(t: String) = ev.where(col("event_type") === t)
+    val v = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = stage("click").join(v, "user_id").where(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = stage("purchase").join(c, "user_id").where(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))
