@@ -187,6 +187,36 @@ class CdcPipelineSpec extends SparkSpec {
       "state after second compaction")
   }
 
+  test("compaction crash windows: orphan staging/final dirs stay invisible and are healed") {
+    val tableDir = tmpDir("tablecc")
+    val streamDir = tmpDir("streamcc")
+    val outDir = tmpDir("outcc")
+    val ckDir = tmpDir("ckcc")
+    TranscriptGen.writeTable(spark, cfg.copy(numConvs = 40), tableDir)
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+    val sink = new ExactlyOnceSink(spark, outDir)
+    val contentBefore =
+      sink.readCommitted("events").get.collect().map(_.toString).sorted.toSeq
+    val c = sink.committedBatchIds.max
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+    // crash window 1: staged write died mid-flight → garbage staging dir
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$outDir/events/.staging-compact-$c/junk"))
+    // crash window 2: rename happened but the epoch marker never landed →
+    // a plausible-looking final dir that is NOT authoritative
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$outDir/events/batch=$c-compact/junk"))
+    // neither artifact is visible to readers
+    assert(sink.epochFloor.isEmpty)
+    assert(sink.readCommitted("events").get.collect().map(_.toString).sorted.toSeq
+      == contentBefore, "orphans must not change committed content")
+    // a retried compaction heals both orphans and lands the epoch
+    val epoch = sink.compact()
+    assert(epoch == c && sink.epochFloor.contains(c))
+    assert(sink.readCommitted("events").get.collect().map(_.toString).sorted.toSeq
+      == contentBefore, "healed compaction preserves content")
+  }
+
   test("multi-table routing: one pass fans out to per-table partitions") {
     import spark.implicits._
     val outDir = tmpDir("mt")
