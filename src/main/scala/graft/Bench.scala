@@ -137,6 +137,9 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
           None
       }
+      // release operator-internal caches between queries: keeps per-query
+      // timings independent and the long battery leak-free
+      finally spark.catalog.clearCache()
     }
 
     // 50k convs ≈ 1.7M events: large enough that replay throughput measures

@@ -102,7 +102,8 @@ object Main {
               () => CdcPipeline.start(spark, streamDir, outDir,
                 s"${cfg.workDir}/checkpoint", cfg.maxFilesPerTrigger,
                 trigger = CdcPipeline.triggerFor(cfg), tables = cfg.tables,
-                maxRecordsPerFile = cfg.sinkMaxRecordsPerFile),
+                maxRecordsPerFile = cfg.sinkMaxRecordsPerFile,
+                compactEvery = cfg.compactEveryBatches),
               cfg.restartAttempts, cfg.restartDelayMs,
               progress = () => outSink.committedBatchIds.size.toLong)
             if (restarts > 0) println(s"[pipeline] recovered after $restarts restart(s)")

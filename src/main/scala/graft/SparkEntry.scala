@@ -57,7 +57,8 @@ object SparkEntry {
     "q34_retention" -> (Queries.q34Retention _),
     "q35_stratified_sample" -> (Queries.q35StratifiedSample _),
     "q36_cube" -> (Queries.q36Cube _),
-    "q37_funnel" -> (Queries.q37Funnel _)
+    "q37_funnel" -> (Queries.q37Funnel _),
+    "q38_len_histogram" -> (Queries.q38LenHistogram _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -411,6 +412,10 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |       (SELECT count(*) FROM c) AS n_view_click,
         |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin,
+    "q38_len_histogram" ->
+      """SELECT CAST(least(floor(len(string_split(text, ' ')) / 10.0), 19) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
     // q23 mirror: modality routing, payload byte counts, and frame sampling
     // are pure integer arithmetic over the UTF-8 text payload
     // (Multimodal.mediaFromDocuments / sampleFrames); the float feature

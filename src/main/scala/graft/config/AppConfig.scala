@@ -33,7 +33,12 @@ final case class AppConfig(
       */
     sinkMaxRecordsPerFile: Long = 0L,
     rollingFileSize: String = "128MB",
-    rollingInterval: String = "5min"
+    rollingInterval: String = "5min",
+    /** Run sink log compaction every N committed batches (0 = never).
+      * Bounds manifest/file growth on a continuous deployment — the
+      * Iceberg rewrite+expire cadence, at the trigger boundary.
+      */
+    compactEveryBatches: Long = 0L
 ) {
   def rollingFileSizeBytes: Long = graft.sink.Export.parseSizeBytes(rollingFileSize)
   def rollingIntervalMs: Long = graft.sink.Export.parseTimeToMillis(rollingInterval)
@@ -45,33 +50,40 @@ final case class AppConfig(
     * agnostic — the same probe works for file://, hdfs://, s3a://.
     */
   def validateEnvironment(
-      hadoopConf: org.apache.hadoop.conf.Configuration): Either[String, Unit] =
-    try {
-      val tableOk =
-        if (tableDir.isEmpty) Right(())
-        else {
-          val p = new org.apache.hadoop.fs.Path(tableDir)
-          if (p.getFileSystem(hadoopConf).exists(p)) Right(())
-          else Left(s"tableDir does not exist: $tableDir")
-        }
-      tableOk.flatMap { _ =>
+      hadoopConf: org.apache.hadoop.conf.Configuration): Either[String, Unit] = {
+    // each probe owns its error attribution — a malformed tableDir URI must
+    // not be reported as a workDir failure
+    def probe(label: String, dir: String)(body: => Either[String, Unit]): Either[String, Unit] =
+      try body
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(s"environment validation failed for $label '$dir': ${e.getMessage}")
+      }
+    val tableOk = probe("tableDir", tableDir) {
+      if (tableDir.isEmpty) Right(())
+      else {
+        val p = new org.apache.hadoop.fs.Path(tableDir)
+        if (p.getFileSystem(hadoopConf).exists(p)) Right(())
+        else Left(s"tableDir does not exist: $tableDir")
+      }
+    }
+    tableOk.flatMap { _ =>
+      probe("workDir", workDir) {
         if (workDir.isEmpty) Right(())
         else {
           val p = new org.apache.hadoop.fs.Path(workDir)
           val fs = p.getFileSystem(hadoopConf)
           fs.mkdirs(p)
-          val probe = new org.apache.hadoop.fs.Path(
+          val probePath = new org.apache.hadoop.fs.Path(
             p, s".probe-${java.util.UUID.randomUUID()}")
-          val out = fs.create(probe, true)
+          val out = fs.create(probePath, true)
           out.write(1); out.close()
-          fs.delete(probe, false)
+          fs.delete(probePath, false)
           Right(())
         }
       }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        Left(s"environment validation failed for '$workDir': ${e.getMessage}")
     }
+  }
   /** ≙ reference AppConfig.validateConfiguration (AppConfig.scala:259-273)
     * + the format/compression whitelist of
     * validation/EnvironmentValidator.scala:110-119.
@@ -152,7 +164,11 @@ object AppConfig {
     val fileLayer: Map[String, String] = raw("configDir") match {
       case Some(dir) if dir.nonEmpty =>
         val base = loadPropsFile(java.nio.file.Paths.get(dir, "application.properties"))
-        val envEff = raw("env").orElse(base.get("env")).getOrElse("local")
+        // substitute BEFORE choosing the {env}.properties layer: a
+        // file-declared env of "${DEPLOY_ENV}" must load prod.properties,
+        // not a literal "${DEPLOY_ENV}.properties"
+        val envEff = raw("env").orElse(base.get("env").map(substitute(_, getenv)))
+          .getOrElse("local")
         val perEnv = loadPropsFile(java.nio.file.Paths.get(dir, s"$envEff.properties"))
         (base ++ perEnv).map { case (k, v) => k -> substitute(v, getenv) }
       case _ => Map.empty
@@ -181,7 +197,8 @@ object AppConfig {
       restartDelayMs = get("restartDelayMs").map(_.toLong).getOrElse(defDelay),
       sinkMaxRecordsPerFile = get("sinkMaxRecordsPerFile").map(_.toLong).getOrElse(0L),
       rollingFileSize = get("rollingFileSize").getOrElse("128MB"),
-      rollingInterval = get("rollingInterval").getOrElse("5min")
+      rollingInterval = get("rollingInterval").getOrElse("5min"),
+      compactEveryBatches = get("compactEveryBatches").map(_.toLong).getOrElse(0L)
     )
     cfg.validate()
   }

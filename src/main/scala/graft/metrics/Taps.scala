@@ -17,8 +17,12 @@ import org.apache.spark.util.LongAccumulator
   * rows per partition) and truncates, (b) stays OUT of the committed
   * pipeline — it is a pass-through wrapper callers opt into for debugging,
   * never part of `CdcPipeline.start` — and (c) counts every row through a
-  * Spark accumulator, so the monitoring signal stays exact on a cluster
-  * even where the logging is sampled.
+  * Spark accumulator, so the monitoring signal covers every row even where
+  * the logging is sampled. Accumulators updated inside a transformation are
+  * at-least-once under task retry/speculation (Spark only dedupes them in
+  * actions), so on a cluster the count can over-report after a retry —
+  * fine for a debug tap; use `Dataset.observe`/the sink lineage where an
+  * exact count matters.
   */
 object Taps {
 

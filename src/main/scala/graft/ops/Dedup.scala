@@ -274,6 +274,15 @@ object Dedup {
       }
       edges.unpersist()
       undirected.unpersist()
+      // loud beats wrong: min-label propagation converges in component-
+      // diameter steps, so a chain longer than maxIters would exit here
+      // with one real component split into several — fail instead of
+      // returning plausible-but-wrong clusters (raise maxIters, or run
+      // exact dedup first to collapse the verbatim chains)
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"dedupClusters: label propagation not converged after $maxIters iterations " +
+            s"($changed labels still moving) — component diameter exceeds maxIters")
       labels.select(col("id").as("doc_id"), col("cluster"))
     }
   }

@@ -108,7 +108,7 @@ object CdcPipeline {
       checkpointDir: String, maxFilesPerTrigger: Int = 16,
       trigger: Trigger = Trigger.AvailableNow(),
       format: String = "parquet", tables: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): StreamingQuery = {
+      maxRecordsPerFile: Long = 0L, compactEvery: Long = 0L): StreamingQuery = {
     val sink = new ExactlyOnceSink(spark, outDir, maxRecordsPerFile)
     val src = format match {
       case "parquet" => ChangeStreamReader.stream(spark, streamDir, maxFilesPerTrigger)
@@ -120,7 +120,16 @@ object CdcPipeline {
       .queryName("graft-cdc")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, id: Long) => processBatch(sink, df, id, tables) }
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        processBatch(sink, df, id, tables)
+        // periodic log compaction at the trigger boundary — the one point
+        // with no concurrent sink readers in the pipeline itself — keeps
+        // manifest/file counts bounded on a continuous deployment
+        // (sink.compact scaladoc: Iceberg rewrite+expire cadence)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0 &&
+            sink.committedBatchIds.nonEmpty)
+          { sink.compact(); () }
+      }
       .start()
   }
 

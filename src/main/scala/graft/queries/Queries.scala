@@ -357,6 +357,16 @@ object Queries {
       .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
   }
 
+  /** q38: document-length histogram (10-token buckets, capped at 19) —
+    * the corpus-shape report every pipeline run starts with. Exact integer
+    * bucketing in both engines, one hash aggregate.
+    */
+  def q38LenHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(least(floor(graft.ops.TextAnalysis.tokenCount(col("text")) / 10.0), lit(19))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

@@ -212,6 +212,12 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String,
     * Time travel: `asOfBatch` below the epoch floor is refused (that
     * history is physically merged); at or above it works unchanged.
     * Returns the new epoch floor.
+    *
+    * Concurrency: the flip itself is atomic, but post-flip cleanup deletes
+    * the retired dirs — a reader that resolved its dir list BEFORE the flip
+    * can transiently fail mid-scan. Run compaction between queries (e.g. at
+    * the streaming trigger boundary or from a maintenance job), like
+    * Iceberg's rewrite+expire.
     */
   def compact(upToBatch: Long = Long.MaxValue): Long = {
     val floor = epochFloor

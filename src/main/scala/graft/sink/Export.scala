@@ -218,25 +218,50 @@ object Export {
         case _ => None
       }
     }.groupBy(_._1).map { case (pid, as) => pid -> as.maxBy(_._2) }
+    // heal first: a crash inside a previous publish can leave the old file
+    // parked under .old with its replacement missing — restore it so no
+    // partition is ever silently absent after recovery
+    def healAside(suffix: String): Unit =
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$destDir/part-*$suffix.old")).foreach { s =>
+        val cur = new org.apache.hadoop.fs.Path(s.getPath.toString.stripSuffix(".old"))
+        if (!fs.exists(cur)) { fs.rename(s.getPath, cur); () }
+        else fs.delete(s.getPath, false)
+      }
+    healAside(".avro")
+    healAside(".fallback.jsonl")
+    // per-file publish: park the old file aside (atomic rename), land the
+    // new one, then drop the parked copy — every rename result is checked,
+    // so a failure never passes through the delete-then-hope window
+    def publish(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+      val aside = new org.apache.hadoop.fs.Path(dst.toString + ".old")
+      if (fs.exists(aside)) fs.delete(aside, false)
+      if (fs.exists(dst) && !fs.rename(dst, aside))
+        throw new java.io.IOException(s"aside rename failed for $dst")
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"publish rename failed for $dst")
+      fs.delete(aside, false)
+      ()
+    }
     winners.foreach { case (pid, (_, att, path)) =>
-      val dst = new org.apache.hadoop.fs.Path(f"$destDir/part-$pid%05d.avro")
-      if (fs.exists(dst)) fs.delete(dst, false)
-      fs.rename(path, dst)
+      publish(path, new org.apache.hadoop.fs.Path(f"$destDir/part-$pid%05d.avro"))
       val fb = new org.apache.hadoop.fs.Path(f"$stagingDir/part-$pid%05d-a$att.fallback.jsonl")
-      if (fs.exists(fb)) {
-        val fbDst = new org.apache.hadoop.fs.Path(f"$destDir/part-$pid%05d.fallback.jsonl")
-        if (fs.exists(fbDst)) fs.delete(fbDst, false)
-        fs.rename(fb, fbDst)
-      }
+      val fbDst = new org.apache.hadoop.fs.Path(f"$destDir/part-$pid%05d.fallback.jsonl")
+      if (fs.exists(fb)) publish(fb, fbDst)
+      // this attempt had no encode failures → retire the stale sidecar, or
+      // its raw-JSON rows would double the fixed records in the new avro
+      else if (fs.exists(fbDst)) fs.delete(fbDst, false)
     }
-    // sweep partitions that no longer exist (previous wider run)
-    val partName = """part-(\d+)\.avro""".r
-    fs.globStatus(new org.apache.hadoop.fs.Path(s"$destDir/part-*.avro")).foreach { s =>
-      s.getPath.getName match {
-        case partName(pid) if !winners.contains(pid.toInt) => fs.delete(s.getPath, false)
-        case _ =>
+    // sweep partitions that no longer exist (previous wider run) — BOTH the
+    // avro container and any fallback sidecar
+    def sweep(pattern: scala.util.matching.Regex, glob: String): Unit =
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$destDir/$glob")).foreach { s =>
+        s.getPath.getName match {
+          case pattern(pid) if !winners.contains(pid.toInt) => fs.delete(s.getPath, false)
+          case _ =>
+        }
       }
-    }
+    sweep("""part-(\d+)\.avro""".r, "part-*.avro")
+    sweep("""part-(\d+)\.fallback\.jsonl""".r, "part-*.fallback.jsonl")
     if (fs.exists(stPath)) fs.delete(stPath, true)
   }
 

@@ -187,6 +187,26 @@ class CdcPipelineSpec extends SparkSpec {
       "state after second compaction")
   }
 
+  test("auto-compaction in the pipeline: compactEvery keeps metadata bounded, state exact") {
+    val tableDir = tmpDir("tableac")
+    val streamDir = tmpDir("streamac")
+    val outDir = tmpDir("outac")
+    val ckDir = tmpDir("ckac")
+    TranscriptGen.writeTable(spark, cfg, tableDir)
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    ChangeStreamReader.spoolSnapshot(spark, tableDir, streamDir)
+    val q = CdcPipeline.start(spark, streamDir, outDir, ckDir,
+      maxFilesPerTrigger = 3, compactEvery = 2L)
+    q.awaitTermination()
+    val sink = new ExactlyOnceSink(spark, outDir)
+    assert(sink.epochFloor.nonEmpty, "periodic compaction must have run")
+    assert(sink.committedBatchIds.size <= 2, "post-epoch manifest count bounded")
+    assertSameRows(
+      CdcPipeline.materialize(spark, outDir).toDF(),
+      TranscriptGen.finalState(spark, cfg).toDF(),
+      "state with auto-compaction")
+  }
+
   test("compaction crash windows: orphan staging/final dirs stay invisible and are healed") {
     val tableDir = tmpDir("tablecc")
     val streamDir = tmpDir("streamcc")

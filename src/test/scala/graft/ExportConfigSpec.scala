@@ -140,6 +140,28 @@ class ExportConfigSpec extends SparkSpec {
     assert(spark.read.format("binaryFile").load(s"$dest/part-*.avro").count() == count1)
   }
 
+  test("avro publish retires stale fallback sidecars and heals parked .old files") {
+    val dest = tmpDir("eavro3")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def put(name: String, body: String): Unit = {
+      val o = fs.create(new org.apache.hadoop.fs.Path(s"$dest/$name"), true)
+      o.write(body.getBytes("UTF-8")); o.close()
+    }
+    // a previous run's encode-failure sidecar, and a crash that parked the
+    // old container under .old without landing its replacement
+    put("part-00000.fallback.jsonl", """{"stale":true}""")
+    put("part-99999.avro.old", "parked")
+    Export.avro(spark, s"$workDir/out", dest)
+    // clean re-run has no fallback → the stale sidecar must be gone (its
+    // raw-JSON rows would double the records in the republished avro)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/part-00000.fallback.jsonl")))
+    // the parked file was restored, then swept as a no-longer-present part
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/part-99999.avro.old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/part-99999.avro")))
+    // and no .old residue remains after a successful publish
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dest/part-*.old")).isEmpty)
+  }
+
   test("schema-change export carries the schema route in the wrapper shape") {
     val dest = tmpDir("eschema")
     Export.schemaChanges(spark, s"$workDir/out", dest)
@@ -239,6 +261,19 @@ class ExportConfigSpec extends SparkSpec {
     assert(c.parallelism == 7, "file-declared env must load its own {env}.properties")
     assert(c.restartAttempts == 5 && c.restartDelayMs == 30000L,
       "file-declared env must drive env defaults")
+  }
+
+  test("config: a ${VAR}-declared env substitutes before picking its {env}.properties") {
+    val dir = tmpDir("cfgenvsub")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "application.properties"),
+      "env=${DEPLOY_ENV}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "prod.properties"),
+      "parallelism=9\n")
+    val c = AppConfig.load(Seq(s"configDir=$dir"), Map.empty,
+      v => Some("prod").filter(_ => v == "DEPLOY_ENV")).toOption.get
+    assert(c.env == "prod")
+    assert(c.parallelism == 9,
+      "substituted env must load prod.properties, not '${DEPLOY_ENV}.properties'")
   }
 
   test("environment validation probes tableDir existence and workDir writability") {
