@@ -216,7 +216,12 @@ object CdcPipeline {
     val w = Window.partitionBy($"k_conv", $"k_idx").orderBy($"lsn".desc)
     keyed
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1 && $"op" =!= "d")
+      // after.isNotNull: a validly-enveloped c/u/r event can still carry a
+      // null after-image (the envelope contract doesn't require it) — the
+      // Turn encoder would throw on its non-nullable turn_idx, letting one
+      // degenerate event poison the whole materialization; treat it as a
+      // state no-op instead
+      .filter($"rn" === 1 && $"op" =!= "d" && $"after".isNotNull)
       .select($"after.*")
       .as[Turn]
   }

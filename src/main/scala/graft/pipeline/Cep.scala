@@ -121,13 +121,40 @@ object Cep {
     while (i < ordered.length && !halted) {
       val t = ordered(i)
       if (t.turn_idx < s.nextIdx) i += 1 // stale duplicate below the frontier
-      else if (t.turn_idx == s.nextIdx || t.tsMs + horizonMs <= wmMs) {
-        // in-order successor, or a gap whose grace has fully passed
+      else if (t.turn_idx == s.nextIdx) {
         s = step(conv, t, s, out)
+        i += 1
+      } else if (t.tsMs + horizonMs <= wmMs) {
+        // gap whose grace has fully passed: the frontier is FORCED over a
+        // hole — role-sequence adjacency is definitionally broken there, so
+        // clear prevRole before stepping or a user_repeat could span a
+        // known-missing turn (the lost turn may have been an assistant
+        // turn). Tool matching intentionally survives the hole: the
+        // operator's contract is "first OBSERVED response".
+        s = step(conv, t, s.copy(prevRole = None), out)
         i += 1
       } else halted = true
     }
     s.copy(pending = ordered.drop(i).map(t => t.turn_idx -> t).toMap)
+  }
+
+  /** Watermark-driven maintenance shared by BOTH invocation paths: drain
+    * permanently-gapped pending turns and expire an open call past its
+    * horizon. Running this only on the timeout path starves conversations
+    * that receive data every trigger — Spark never fires a timeout for a
+    * key that has arrivals, so a continuously-active conversation with one
+    * lost turn would pin its pending buffer forever and emit nothing.
+    */
+  private def ripeMaintenance(conv: String, s0: CepState, wmMs: Long,
+      horizonMs: Long, out: scala.collection.mutable.Buffer[PatternMatch]): CepState = {
+    var s = drainRipePending(conv, s0, wmMs, horizonMs, out)
+    if (s.openCall.exists(_.tsMs + horizonMs <= wmMs)) {
+      val o = s.openCall.get
+      out += mk(conv, "unanswered_tool_call", o.idx, o.idx, o.tsMs,
+        o.tsMs + horizonMs, o.tool)
+      s = s.copy(openCall = None)
+    }
+    s
   }
 
   private def process(conv: String, it: Iterator[TurnLite],
@@ -137,15 +164,7 @@ object Cep {
     if (streaming && state.hasTimedOut) {
       var s = state.getOption.getOrElse(emptyState)
       val wm = state.getCurrentWatermarkMs()
-      // 1. permanent-gap drain (may itself open a new tool call)
-      s = drainRipePending(conv, s, wm, horizonMs, out)
-      // 2. expired open call → unanswered_tool_call
-      if (s.openCall.exists(_.tsMs + horizonMs <= wm)) {
-        val o = s.openCall.get
-        out += mk(conv, "unanswered_tool_call", o.idx, o.idx, o.tsMs,
-          o.tsMs + horizonMs, o.tool)
-        s = s.copy(openCall = None)
-      }
+      s = ripeMaintenance(conv, s, wm, horizonMs, out)
       state.update(s)
       armTimeout(state, s, horizonMs)
       return out.iterator
@@ -181,6 +200,13 @@ object Cep {
       // drain the tail in order so a missing turn_idx can't truncate the
       // conversation's pattern stream (mirrors the streaming timeout drain)
       s = drainRipePending(conv, s, Long.MaxValue, 0L, out)
+    }
+    if (streaming) {
+      // run the watermark maintenance on the DATA path too: a key with
+      // arrivals every trigger never times out, so without this a
+      // continuously-active conversation could pin a gapped pending buffer
+      // (and an expired open call) forever
+      s = ripeMaintenance(conv, s, state.getCurrentWatermarkMs(), horizonMs, out)
     }
     state.update(s)
     if (streaming) armTimeout(state, s, horizonMs)

@@ -36,8 +36,9 @@ import org.apache.spark.sql.functions._
   *
   * The manifest carries per-(route, time-bucket) lineage: row counts and
   * [minLsn, maxLsn] — the per-partition offset lineage the north rule
-  * requires, computed from the just-written files with a column-pruned read
-  * (never a second pass over the input).
+  * requires. The pipeline computes it from the CACHED routed batch in the
+  * same aggregate as the latency stats (CdcPipeline.processBatch) — one
+  * pass, no re-read of the written files — and publishes it via `commit`.
   */
 final class ExactlyOnceSink(spark: SparkSession, outDir: String,
     maxRecordsPerFile: Long = 0L) extends Serializable {
@@ -107,22 +108,6 @@ final class ExactlyOnceSink(spark: SparkSession, outDir: String,
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("route", "src_table", "p_date")
       .parquet(dir)
-  }
-
-  /** Compute lineage from the written batch dir (column-pruned: reads only
-    * lsn + partition values) and atomically publish the manifest.
-    */
-  def commitWithLineage(batchId: Long): Seq[(String, Long, Long, Long)] = {
-    val written = spark.read.option("basePath", batchDir(batchId)).parquet(batchDir(batchId))
-    val lineage = written
-      .groupBy(concat_ws("/", col("route"), col("src_table"), col("p_date")).as("part"))
-      .agg(count(lit(1)).as("rows"),
-        coalesce(min(col("source.lsn")), lit(-1L)).as("minLsn"),
-        coalesce(max(col("source.lsn")), lit(-1L)).as("maxLsn"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    commit(batchId, lineage)
-    lineage
   }
 
   /** Atomically publish the batch (rename makes the commit visible). */

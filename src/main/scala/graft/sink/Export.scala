@@ -188,19 +188,39 @@ object Export {
     val destDir = dest
     val stagingDir = s"$dest/.staging-parts"
     val codec = compression
+    // executor tasks must see the SESSION Hadoop conf (spark.hadoop.* —
+    // credentials, endpoints), not a bare new Configuration(); ship the
+    // entries and rebuild per task
+    val hadoopEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
+    // clear stale staging BEFORE the job: leftovers from a crashed prior
+    // run carry attempt ids from that application and could out-rank (and
+    // out-date) this run's files in the max-attempt promotion
+    val fsDriver = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(destDir), spark.sparkContext.hadoopConfiguration)
+    fsDriver.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
     flat.repartition(math.max(2, spark.sparkContext.defaultParallelism))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
           val att = tc.taskAttemptId()
+          val conf = new org.apache.hadoop.conf.Configuration()
+          hadoopEntries.foreach { case (k, v) => conf.set(k, v) }
           val fs = org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(destDir), new org.apache.hadoop.conf.Configuration())
+            new java.net.URI(destDir), conf)
           fs.mkdirs(new org.apache.hadoop.fs.Path(stagingDir))
           writeAvroPart(it, schemaStr, fs,
             new org.apache.hadoop.fs.Path(f"$stagingDir/part-$pid%05d-a$att.avro"),
             new org.apache.hadoop.fs.Path(f"$stagingDir/part-$pid%05d-a$att.fallback.jsonl"),
             codec)
+          // completion marker: a killed speculative attempt leaves a
+          // truncated container with a HIGHER attempt id — promotion only
+          // considers attempts that reached this line
+          fs.createNewFile(new org.apache.hadoop.fs.Path(f"$stagingDir/part-$pid%05d-a$att.ok"))
           ()
         }
       }
@@ -214,7 +234,11 @@ object Export {
       else Array.empty[org.apache.hadoop.fs.FileStatus]
     val winners = staged.flatMap { s =>
       s.getPath.getName match {
-        case stagedName(pid, att) => Some((pid.toInt, att.toLong, s.getPath))
+        case stagedName(pid, att)
+            // only completed attempts compete (see the .ok marker above)
+            if fs.exists(new org.apache.hadoop.fs.Path(
+              s"$stagingDir/part-$pid-a$att.ok")) =>
+          Some((pid.toInt, att.toLong, s.getPath))
         case _ => None
       }
     }.groupBy(_._1).map { case (pid, as) => pid -> as.maxBy(_._2) }

@@ -59,7 +59,12 @@ object ChangeStreamReader {
       .write.mode("overwrite").parquet(tmp)
     val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
     parts.zipWithIndex.foreach { case (st, i) =>
-      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(f"$streamDir/00000-snapshot-$i%03d.parquet"))
+      val dst = new org.apache.hadoop.fs.Path(f"$streamDir/00000-snapshot-$i%03d.parquet")
+      // loud rename: a silent false (e.g. dst left by a crashed attempt
+      // with a DIFFERENT numFiles layout on an HDFS-like FS) would mix two
+      // snapshot layouts and duplicate events
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"snapshot spool rename failed: ${'$'}{st.getPath} -> ${'$'}dst")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     fs.createNewFile(marker)
@@ -79,8 +84,13 @@ object ChangeStreamReader {
       if (phaseFilter(phase)) {
         val dst = new org.apache.hadoop.fs.Path(s"$streamDir/10000-$name")
         if (!fs.exists(dst)) {
-          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dst, false,
+          // copy to a dot-tmp (invisible to FileStreamSource) then rename:
+          // a live continuous-mode query must never list a half-copied file
+          val tmp = new org.apache.hadoop.fs.Path(s"$streamDir/.tmp-10000-$name")
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, tmp, false,
             spark.sparkContext.hadoopConfiguration)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"change delivery rename failed: ${'$'}dst")
           n += 1
         }
       }

@@ -77,7 +77,10 @@ object TranscriptGen {
       val norm =
         if (math.abs(cfg.zipf - 1.0) < 1e-9) math.log(n + 1)
         else (math.pow(n, 1.0 - cfg.zipf) - 1.0) / (1.0 - cfg.zipf)
-      math.max(2, math.round(cfg.avgTurns * cfg.numConvs * w / math.max(norm, 1e-9)).toInt)
+      // avgTurns.toDouble FIRST: an Int*Int product overflows at
+      // numConvs*avgTurns > 2^31 (exactly the 10^9+-conversation scales
+      // this generator targets) and would collapse every conversation to 2
+      math.max(2, math.round(cfg.avgTurns.toDouble * cfg.numConvs * w / math.max(norm, 1e-9)).toInt)
     }
   }
 

@@ -64,10 +64,15 @@ class CdcPipelineSpec extends SparkSpec {
       ChangeStreamReader.writeJsonlSegment(
         ev.filter(_.phase == p).map(_.event).toDF(), streamDir, f"10000-chg-$p%04d")
     }
-    // two garbage lines: one unparseable, one parseable-but-invalid op
+    // two garbage lines (one unparseable, one invalid op) plus a
+    // valid-envelope event with NO after-image: it routes to data (the
+    // envelope contract doesn't require a payload) and materialize must
+    // treat it as a state no-op, not crash the Turn encoder
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$streamDir/20000-garbage.jsonl"), true)
-    out.write("this is not json {\n{\"op\":\"zz\",\"ts_ms\":1}\n".getBytes("UTF-8")); out.close()
+    out.write(("this is not json {\n{\"op\":\"zz\",\"ts_ms\":1}\n" +
+      """{"op":"c","ts_ms":1,"source":{"db":"transcripts","schema":"public","table":"conversations","ts_ms":1,"lsn":999999999}}""" +
+      "\n").getBytes("UTF-8")); out.close()
 
     val q = CdcPipeline.start(spark, streamDir, outDir, ckDir,
       maxFilesPerTrigger = 2, format = "json")

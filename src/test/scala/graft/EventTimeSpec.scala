@@ -171,6 +171,29 @@ class EventTimeSpec extends SparkSpec {
     assert(got == Set(("tool_roundtrip", 2)))
   }
 
+  test("CEP streaming: gap drains on the DATA path for a continuously-active conversation") {
+    val dir = tmpDir("cepdd")
+    // turn 1 never arrives; the SAME conversation keeps receiving turns in
+    // every batch, so its event-time timeout never fires (Spark only fires
+    // timeouts for keys with no arrivals) — the permanent-gap drain must
+    // run on the data path or this conversation starves forever
+    writeTurnFile(dir, "b1", Seq(
+      t("cd", 0, "user", None, 0),
+      t("cd", 2, "assistant", Some("sql"), 20),
+      t("cd", 3, "tool", Some("sql"), 30)))
+    writeTurnFile(dir, "b2", Seq(t("cd", 4, "user", None, 100)))
+    writeTurnFile(dir, "b3", Seq(t("cd", 5, "user", None, 200)))
+    val stream = streamTurns(dir).withWatermark("ts", "5 seconds")
+    val got = runToMemory(Cep.detect(stream, streaming = true, horizonMs = 60000L).toDF(),
+      "cep_dd", "append")
+      .collect().map(r => (r.getAs[String]("pattern"), r.getAs[Int]("start_turn"))).toSet
+    assert(got.contains(("tool_roundtrip", 2)), s"buffered tail must drain past the gap: $got")
+    assert(got.contains(("user_repeat", 4)), s"post-gap turns must keep flowing: $got")
+    // and NO user_repeat may span the known-missing turn (role continuity
+    // resets when the frontier is forced over a hole)
+    assert(!got.contains(("user_repeat", 0)), s"no pattern across the hole: $got")
+  }
+
   test("CEP batch: residual gap is drained at end of input") {
     import spark.implicits._
     val turns = Seq(
