@@ -74,22 +74,34 @@ object Metrics {
 object LatencyMonitor {
 
   final case class LatencyStats(batchId: Long, maxLatencyMs: Long,
-      avgLatencyMs: Double, lateEvents: Long, events: Long)
+      avgLatencyMs: Double, lateEvents: Long, events: Long,
+      pipeline: String = "default")
 
   /** Reference threshold: 10 s (CDCMonitor.scala:28). */
   val DefaultAlertMs = 10000L
 
+  // JVM-shared queues; every entry is keyed by `pipeline` so concurrent
+  // pipelines in one JVM (tests, multi-stream drivers) can audit their own
+  // batches — filter on it, and prefer clear(pipeline) over the global one
   val history = new ConcurrentLinkedQueue[LatencyStats]()
   val alerts = new ConcurrentLinkedQueue[LatencyStats]()
 
   def clear(): Unit = { history.clear(); alerts.clear() }
 
+  /** Remove one pipeline's entries without erasing a concurrent one's. */
+  def clear(pipeline: String): Unit = {
+    history.removeIf(_.pipeline == pipeline)
+    alerts.removeIf(_.pipeline == pipeline)
+    ()
+  }
+
   /** Record pre-aggregated batch latency stats (the pipeline folds them
     * into the lineage aggregate — no extra pass) and alert past threshold.
     */
   def record(batchId: Long, maxLatencyMs: Long, avgLatencyMs: Double,
-      lateEvents: Long, events: Long, alertMs: Long = DefaultAlertMs): LatencyStats = {
-    val st = LatencyStats(batchId, maxLatencyMs, avgLatencyMs, lateEvents, events)
+      lateEvents: Long, events: Long, alertMs: Long = DefaultAlertMs,
+      pipeline: String = "default"): LatencyStats = {
+    val st = LatencyStats(batchId, maxLatencyMs, avgLatencyMs, lateEvents, events, pipeline)
     history.add(st)
     if (st.lateEvents > 0) {
       alerts.add(st)

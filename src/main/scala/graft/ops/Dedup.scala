@@ -15,12 +15,25 @@ import org.apache.spark.sql.functions._
   *     bounded by bucket sizes, then verified exactly. At 100 TB the band/
   *     bucket key is the shuffle key and hot buckets are handled by AQE
   *     skew-join (on) or a frequency cap on pathological grams.
+  *
+  * Cache lifecycle: the pairwise operators cache their gram/signature/
+  * embedding intermediate because the returned (lazy) plan reads it from
+  * several branches — reliable storage-level caching is deliberately kept
+  * over localCheckpoint (which loses lineage and can't survive executor
+  * loss on a real cluster). The caches belong to the session: a harness
+  * running many invocations in one session releases them between calls
+  * with `spark.catalog.clearCache()` (Verify/Bench do).
   */
 object Dedup {
 
-  /** Exact dedup: one representative (min id) per identical text. */
+  /** Exact dedup: one representative (min id) per identical text. The
+    * shuffle key is the 128-bit md5 of the text, never the text itself —
+    * at 100 TB the map-side partials carry 32 bytes per distinct doc
+    * instead of the raw corpus (md5 collision on distinct texts:
+    * birthday-bounded ≈ n²/2¹²⁸, immaterial below ~2⁶⁰ docs).
+    */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.groupBy(col(textCol))
+    docs.groupBy(md5(col(textCol).cast("binary")).as("_fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 

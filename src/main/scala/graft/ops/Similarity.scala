@@ -30,14 +30,21 @@ object Similarity {
 
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Cosine of every vector against one literal query vector. */
+  /** Cosine of every vector against one literal query vector. Zero-norm
+    * rows are excluded up front: 0/0 = NaN, and Spark's total ordering
+    * ranks NaN ABOVE 1.0 while `NaN >= threshold` is true — one padding /
+    * failed-encode row would otherwise top every top-k and pass every
+    * range filter (the integer dedup path has the same guard via n2 > 0).
+    */
   def cosineToQuery(embs: DataFrame, query: Array[Float],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = array(query.map(x => lit(x.toDouble)): _*)
     val qn = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
-    embs.select(
-      col(idCol),
-      (dot(asDouble(col(vecCol)), q) / (norm(col(vecCol)) * lit(qn))).as("cosine"))
+    require(qn > 0.0, "query vector has zero norm — cosine is undefined")
+    embs.where(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
+      .select(
+        col(idCol),
+        (dot(asDouble(col(vecCol)), q) / (norm(col(vecCol)) * lit(qn))).as("cosine"))
   }
 
   /** Brute-force cosine top-k for one query vector (excludes exact id match
@@ -147,9 +154,13 @@ object Similarity {
   def buildIvfIndex(embs: DataFrame, nlist: Int = 64, sampleSize: Int = 10000,
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding"): (DataFrame, IvfModel) = {
-    val cents = kmeansCentroids(embs, nlist, sampleSize, seed = seed,
+    // null / zero-norm rows can't live on the unit sphere (normalize would
+    // mint NaN centroids, a null cid would NPE the radius pass) — exclude
+    // them from the index, matching the search paths' guard
+    val clean = embs.where(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
+    val cents = kmeansCentroids(clean, nlist, sampleSize, seed = seed,
       idCol = idCol, vecCol = vecCol)
-    val assigned = embs
+    val assigned = clean
       .withColumn("_asn", graft.functions.VectorFunctions.nearestCentroid(
         col(vecCol), cents, isFloatVec(embs, vecCol)))
       .withColumn("cid", col("_asn.cid"))
@@ -178,7 +189,8 @@ object Similarity {
 
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, IvfModel) = {
-    val lines = scala.io.Source.fromFile(s"$dir/model.json").getLines().toSeq
+    val src = scala.io.Source.fromFile(s"$dir/model.json")
+    val lines = try src.getLines().toSeq finally src.close()
     val parsed = lines.map { l =>
       val cid = """"cid":(\d+)""".r.findFirstMatchIn(l).get.group(1).toInt
       val radius = """"radius":([-0-9.eE]+)""".r.findFirstMatchIn(l).get.group(1).toDouble

@@ -67,7 +67,8 @@ object CdcPipeline {
           avgLatencyMs = if (latN == 0) 0.0 else rows.map(_.getLong(5)).sum.toDouble / latN,
           lateEvents = rows.map(_.getLong(6)).sum,
           events = rows.map(_.getLong(1)).sum,
-          alertMs = alertMs)
+          alertMs = alertMs,
+          pipeline = sink.outDir)
       }
       sink.commit(batchId, lineage)
     } finally { keyed.unpersist(); () }

@@ -50,12 +50,17 @@ object Queries {
       .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000.0)
       .select(col("o_orderkey"), col("o_custkey"))
 
-  /** q3: 3-way join — dims broadcast, fact never shuffled before the agg. */
+  /** q3: 3-way join — the customer DIMENSION broadcasts; orders is
+    * fact-sized (TPC-H: lineitem/4), so it gets NO hint — at test scale
+    * Spark auto-broadcasts it under the size threshold, at 100 TB it
+    * correctly shuffles into a sort-merge join instead of OOMing the
+    * driver with a forced fact broadcast.
+    */
   def q3JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val li = table(spark, sfDir, "lineitem")
     val o = table(spark, sfDir, "orders")
     val c = table(spark, sfDir, "customer")
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(

@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   * same aggregate as the latency stats (CdcPipeline.processBatch) — one
   * pass, no re-read of the written files — and publishes it via `commit`.
   */
-final class ExactlyOnceSink(spark: SparkSession, outDir: String,
+final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
     maxRecordsPerFile: Long = 0L) extends Serializable {
 
   private def fs: FileSystem =

@@ -333,6 +333,29 @@ class OpsSpec extends SparkSpec {
       legacyTopBigram, "top_bigram_frac kernel")
   }
 
+  test("zero-norm / null embeddings are excluded from float cosine paths (no NaN wins)") {
+    import spark.implicits._
+    val e = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 0f)),
+      (3L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    // NaN sorts ABOVE 1.0 in Spark's total ordering — without the guard the
+    // zero vector would top every ranking and pass every range threshold
+    val top = Similarity.bruteForceTopK(e, Array(1f, 0f), k = 3, excludeId = Some(0L))
+      .collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L), s"only the real vector: ${top.mkString}")
+    assert(top.forall(r => !r.getDouble(1).isNaN))
+    val rng = Similarity.ivfRangeSearch(e, Array(1f, 0f), threshold = 0.5, nlist = 2)
+      .collect()
+    assert(rng.map(_.getLong(0)).toSet == Set(0L, 1L) && rng.forall(r => !r.getDouble(1).isNaN))
+    // the index itself excludes null/zero rows (normalize would mint NaN
+    // centroids; a null cid would NPE the radius pass)
+    val (idx, _) = Similarity.buildIvfIndex(e, nlist = 2)
+    assert(idx.where(col("vec_id").isin(2L, 3L)).count() == 0)
+    // a zero-norm QUERY is refused loudly, not answered with garbage
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(e, Array(0f, 0f), k = 1)
+    }
+  }
+
   test("as-of join: latest at-or-before match, equal-ts + tie rules, null when none") {
     import spark.implicits._
     import graft.pipeline.Joins
