@@ -126,21 +126,31 @@ object Bench {
 
     // A failing query must surface as an error, never as a fast time: its
     // entry is dropped from the timings and recorded under "errors" instead.
+    // The battery runs SPARK_GRAFT_QUERY_REPS times (default 2) and reports
+    // the per-query MIN — a one-off stall (GC storm, page-cache thrash from
+    // a preceding JVM, ambient load the ALU canary can't see) inflated
+    // single-shot numbers up to 20× in observed runs; the min across passes
+    // is the robust per-query statistic.
+    val queryReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
-          None
+    val passes = (1 to queryReps).map { rep =>
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+            None
+        }
+        // release operator-internal caches between queries: keeps per-query
+        // timings independent and the long battery leak-free
+        finally spark.catalog.clearCache()
       }
-      // release operator-internal caches between queries: keeps per-query
-      // timings independent and the long battery leak-free
-      finally spark.catalog.clearCache()
     }
+    val results = passes.flatten.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (name, ts) => name -> ts.map(_._2).min }
 
     // 50k convs ≈ 1.7M events: large enough that replay throughput measures
     // work, not micro-batch scheduling overhead (at 20k convs the number was
@@ -173,7 +183,7 @@ object Bench {
     val repsTps = runs.map(r => f"${r._1}%.0f").mkString("[", ",", "]")
     val repsSec = runs.map(r => f"${r._3}%.2f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cdc_turns_per_sec":$tpsMedian%.0f,"cdc_reps_tps":$repsTps,"cdc_reps_replay_sec":$repsSec,"cdc_gen_sec":$genSec%.1f,"cdc_events":$nEvents,"alu_giters_per_sec":$alu%.2f,"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"query_reps":$queryReps,"sf":"$sfDir","cdc_turns_per_sec":$tpsMedian%.0f,"cdc_reps_tps":$repsTps,"cdc_reps_replay_sec":$repsSec,"cdc_gen_sec":$genSec%.1f,"cdc_events":$nEvents,"alu_giters_per_sec":$alu%.2f,"cpus":$cpus}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(3)
   }
