@@ -122,6 +122,20 @@ object Main {
           col("ts_ms"), col("after")), "monitor", everyN = everyN, counter = Some(acc))
         tapped.write.format("noop").mode("overwrite").save()
         println(s"[monitor] events=${acc.value} sampledEvery=$everyN")
+      case "savepoint" :: workDir :: destDir :: Nil =>
+        // savepoint = consistent copy of checkpoint (offset WAL) + sink
+        // state; the copy resumes as an independent lineage (≙ reference
+        // Flink savepoint ops, README.md:444-467; resume-equality is pinned
+        // by the savepoint test in ExportConfigSpec)
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        for (part <- Seq("checkpoint", "out")) {
+          val src = new org.apache.hadoop.fs.Path(s"$workDir/$part")
+          require(fs.exists(src), s"no $part under $workDir — run the pipeline first")
+          org.apache.hadoop.fs.FileUtil.copy(fs, src,
+            fs, new org.apache.hadoop.fs.Path(s"$destDir/$part"), false,
+            spark.sparkContext.hadoopConfiguration)
+        }
+        println(s"[savepoint] $workDir -> $destDir (resume with: run <tableDir> $destDir)")
       case "compact" :: workDir :: rest =>
         val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
         val upTo = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)
