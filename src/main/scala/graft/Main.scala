@@ -31,7 +31,17 @@ object Main {
           s"changeFiles=${cfg.changeFiles}")
       case "run" :: tableDir :: workDir :: rest =>
         val mft = rest.headOption.map(_.toInt).getOrElse(16)
-        val streamDir = s"$workDir/stream"
+        // a savepointed workDir resumes against the ORIGINAL stream dir:
+        // the checkpoint's seen-file log stores absolute paths, so pointing
+        // the copy at its own stream dir would re-ingest (and duplicate)
+        // every event under new paths
+        val spMarker = new java.io.File(s"$workDir/savepoint.json")
+        val streamDir =
+          if (spMarker.exists())
+            """"streamDir":"([^"]+)"""".r.findFirstMatchIn(
+              new String(java.nio.file.Files.readAllBytes(spMarker.toPath), "UTF-8"))
+              .map(_.group(1)).getOrElse(s"$workDir/stream")
+          else s"$workDir/stream"
         ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
         val t0 = System.nanoTime()
         CdcPipeline.runAvailable(spark, tableDir, streamDir, s"$workDir/out", s"$workDir/checkpoint", mft)
@@ -108,8 +118,7 @@ object Main {
               progress = () => outSink.committedBatchIds.size.toLong)
             if (restarts > 0) println(s"[pipeline] recovered after $restarts restart(s)")
             val n = ChangeStreamReader.batch(spark, streamDir).count()
-            println(s"[pipeline] env=${cfg.env} events=$n tables=${
-              new sink.ExactlyOnceSink(spark, s"${cfg.workDir}/out").tables().mkString(",")}")
+            println(s"[pipeline] env=${cfg.env} events=$n tables=${outSink.tables().mkString(",")}")
         }
       case "monitor" :: workDir :: rest =>
         // debug observer over the committed log (≙ reference monitoring/
@@ -126,8 +135,13 @@ object Main {
         // savepoint = consistent copy of checkpoint (offset WAL) + sink
         // state; the copy resumes as an independent lineage (≙ reference
         // Flink savepoint ops, README.md:444-467; resume-equality is pinned
-        // by the savepoint test in ExportConfigSpec)
+        // by the savepoint test in ExportConfigSpec). The marker records
+        // the ORIGINAL stream dir — the checkpoint's seen-file paths are
+        // absolute, so `run` on the copy must read the same stream or it
+        // would re-ingest everything as new files (duplicated events).
         val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        require(!fs.exists(new org.apache.hadoop.fs.Path(destDir)),
+          s"savepoint dest $destDir already exists — a nested copy would silently keep the stale state")
         for (part <- Seq("checkpoint", "out")) {
           val src = new org.apache.hadoop.fs.Path(s"$workDir/$part")
           require(fs.exists(src), s"no $part under $workDir — run the pipeline first")
@@ -135,7 +149,9 @@ object Main {
             fs, new org.apache.hadoop.fs.Path(s"$destDir/$part"), false,
             spark.sparkContext.hadoopConfiguration)
         }
-        println(s"[savepoint] $workDir -> $destDir (resume with: run <tableDir> $destDir)")
+        val mk = fs.create(new org.apache.hadoop.fs.Path(s"$destDir/savepoint.json"), true)
+        mk.write(s"""{"streamDir":"$workDir/stream"}""".getBytes("UTF-8")); mk.close()
+        println(s"[savepoint] $workDir -> $destDir (resume with: run <tableDir> $destDir — reads the original stream)")
       case "compact" :: workDir :: rest =>
         val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
         val upTo = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)

@@ -171,6 +171,8 @@ object ScalingBench {
           case rx(_, c, t) => (c.toInt, t.toDouble)
         }.toSeq.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     }
+    reparse.foreach(p => require(p.nonEmpty,
+      "--report: no 'rep=i level=c tps=N' lines found in the log — wrong file or wrong mode?"))
     val reps = reparse.map(_.values.head.size).getOrElse(reps0)
 
     def spawn(cpus: Int): (Double, Long) = {
@@ -193,11 +195,20 @@ object ScalingBench {
       pb.environment().put("SPARK_HOME", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
       pb.environment().put("SPARK_SCALA_VERSION", "2.13")
       val proc = pb.start()
+      // keep a tail of child output: a child that dies (OOM, missing
+      // SPARK_HOME, startup failure) must fail THIS run with its actual
+      // error, not an opaque index-out-of-bounds after hours of reps
+      val tail = new scala.collection.mutable.ArrayDeque[String]()
       scala.io.Source.fromInputStream(proc.getInputStream).getLines().foreach { l =>
         if (l.startsWith("SCALING_RESULT")) out.append(l)
+        else { tail.append(l); if (tail.size > 40) { tail.removeHead(); () } }
       }
-      proc.waitFor()
+      val code = proc.waitFor()
       val parts = out.toString.split(" ")
+      if (out.isEmpty || parts.length < 4)
+        throw new IllegalStateException(
+          s"scaling child (level=$cpus) exited code=$code without SCALING_RESULT; last output:\n" +
+            tail.mkString("\n"))
       (parts(2).toDouble, parts(3).toLong)
     }
 
