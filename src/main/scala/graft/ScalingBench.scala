@@ -287,7 +287,7 @@ object ScalingBench {
          |repetitions per level, fully interleaved (2,8,32, 2,8,32, …), fresh JVM
          |per run, medians reported.
          |
-         || level | median turns/s | spread (min–max) | median efficiency vs N/4 |
+         || level | median events/s (envelope; ≈1.31×turns) | spread (min–max) | median efficiency vs N/4 |
          ||---|---|---|---|
          || ${lbl(l0)} (N) | ${med(l0)}%,.0f | ${spread(l0)} | — |
          || ${lbl(l1)} (4N) | ${med(l1)}%,.0f | ${spread(l1)} | **${eff28}%.3f** |
