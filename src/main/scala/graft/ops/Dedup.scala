@@ -182,29 +182,49 @@ object Dedup {
 
   /** The pre-verify candidate pairs of the pigeonhole chunk join (with
     * their true hamming distance). Exposed so scale audits can assert the
-    * candidate volume stays ≪ n² at the operating radius — the r2 verdict
-    * flagged maxHamming=7 (7-bit chunks, ≤128 bucket values) as a
-    * quadratic-growth hazard; the default 3 keeps 15-bit chunks.
+    * candidate volume stays ≪ n² at the operating radius.
+    *
+    * Two blocking regimes, both with GUARANTEED recall:
+    *   - radius ≤ 4: classic pigeonhole — (r+1) chunks, some chunk matches
+    *     exactly; chunk width ≥ 12 bits keeps buckets fine-grained.
+    *   - radius > 4: MULTI-INDEX pigeonhole (1-error-tolerant — the
+    *     multi-index-hashing family, Norouzi et al. 2012, public):
+    *     ceil((r+1)/2) chunks, so some chunk carries ≤1 mismatched bit
+    *     (if every chunk had ≥2, the total would exceed r); one join side
+    *     additionally emits every 1-bit-flip variant of each chunk, so the
+    *     ≤1-error chunk still meets an exact equi-key. At r=7 this keeps
+    *     15-bit chunks (vs the r2-flagged 7-bit chunks whose ≤128 bucket
+    *     values grew candidates as ~8·n²/128): key space 2¹⁵ per chunk,
+    *     variant fan-out ×16 on one side only — ~32× fewer candidates,
+    *     still a plain equi-shuffle join.
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 30, "maxHamming out of range")
-    val nChunks = maxHamming + 1
+    val multiIndex = maxHamming > 4
+    val nChunks = if (multiIndex) (maxHamming + 2) / 2 else maxHamming + 1
     val width = SimhashBits / nChunks
     val sh = simhash(docs, idCol, textCol).cache()
-    val chunks = sh.select(col("id"), col("simhash"),
-      explode(array((0 until nChunks).map { c =>
-        val hi = if (c == nChunks - 1) SimhashBits else (c + 1) * width
-        val mask = if (hi - c * width >= 64) -1L else (1L << (hi - c * width)) - 1
-        struct(lit(c).as("c"),
-          shiftright(col("simhash"), c * width).bitwiseAND(mask).as("v"))
-      }: _*)).as("ck"))
-      .select(col("id"), col("simhash"), col("ck.c"), col("ck.v"))
+    def chunkCols(variants: Boolean) = (0 until nChunks).flatMap { c =>
+      val hi = if (c == nChunks - 1) SimhashBits else (c + 1) * width
+      val w = hi - c * width
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      val base = shiftright(col("simhash"), c * width).bitwiseAND(mask)
+      val keys = if (!variants) Seq(base)
+        else base +: (0 until w).map(b => base.bitwiseXOR(lit(1L << b)))
+      keys.map(k => struct(lit(c).as("c"), k.as("v")))
+    }
+    def chunks(variants: Boolean) =
+      sh.select(col("id"), col("simhash"),
+          explode(array(chunkCols(variants): _*)).as("ck"))
+        .select(col("id"), col("simhash"), col("ck.c"), col("ck.v"))
     val ham = {
       // popcount via bit_count builtin
       bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
     }
-    chunks.as("x").join(chunks.as("y"),
+    // hamming(chunk_x, chunk_y) ≤ 1  ⟺  x's exact key ∈ y's variant keys —
+    // symmetric, so expanding ONE side is enough for every orientation
+    chunks(variants = false).as("x").join(chunks(variants = multiIndex).as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),

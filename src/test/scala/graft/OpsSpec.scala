@@ -96,6 +96,12 @@ class OpsSpec extends SparkSpec {
     val cand = Dedup.simhashCandidates(corpus, maxHamming = 3).count()
     assert(cand < allPairs / 100L,
       s"simhash candidates ($cand) must be ≪ all-pairs ($allPairs)")
+    // the r2-flagged WIDE radius: multi-index pigeonhole keeps 15-bit
+    // chunks at r=7 (4 chunks × 16 variant keys), so candidates stay
+    // sub-quadratic where the classic 7-bit chunks collapsed to ~n²/16
+    val cand7 = Dedup.simhashCandidates(corpus, maxHamming = 7).count()
+    assert(cand7 < allPairs / 100L,
+      s"multi-index candidates at r=7 ($cand7) must be ≪ all-pairs ($allPairs)")
   }
 
   test("lshBandsFor sizes bands so the miss probability AT the threshold is bounded") {
