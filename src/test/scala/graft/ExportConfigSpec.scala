@@ -304,6 +304,34 @@ class ExportConfigSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous trigger + periodic compaction: epoch lands mid-stream, state exact") {
+    val tableDir = tmpDir("cctable")
+    val streamDir = tmpDir("ccstream")
+    val out = tmpDir("ccout")
+    val cfg = GenConfig(numConvs = 40, avgTurns = 6, changeFiles = 2)
+    TranscriptGen.writeTable(spark, cfg, tableDir)
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    ChangeStreamReader.spoolSnapshot(spark, tableDir, streamDir, numFiles = 8)
+    val sink = new ExactlyOnceSink(spark, out)
+    val q = CdcPipeline.start(spark, streamDir, out, tmpDir("ccck"),
+      maxFilesPerTrigger = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(300L),
+      compactEvery = 2L)
+    try {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (sink.epochFloor.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200L)
+      assert(sink.epochFloor.nonEmpty, "compaction must land under the periodic trigger")
+      // let the stream drain the remaining input past the epoch
+      while (q.status.isDataAvailable && System.currentTimeMillis() < deadline)
+        Thread.sleep(200L)
+    } finally q.stop()
+    assertSameRows(
+      CdcPipeline.materialize(spark, out).toDF(),
+      TranscriptGen.finalState(spark, cfg).toDF(),
+      "state after mid-stream compaction under the periodic trigger")
+  }
+
   test("savepoint: a copied checkpoint resumes identically (no dupes/loss)") {
     val tableDir = tmpDir("svtable")
     val streamDir = tmpDir("svstream")
