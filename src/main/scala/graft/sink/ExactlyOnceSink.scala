@@ -171,12 +171,26 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
       .getOrElse(Seq.empty)
 
   /** The lineage manifest as a DataFrame (metrics / audits): live per-batch
-    * manifests plus the compaction epoch's aggregated lineage.
+    * manifests plus the current compaction epoch's aggregated lineage.
+    * Retired manifests linger one epoch cycle on disk (deferred cleanup —
+    * see `compact`), so rows are filtered by the floor: live batch rows are
+    * `batchId > floor`, and only the CURRENT epoch's compacted rows count.
     */
   def readManifest(): Option[DataFrame] = {
     val globs = Seq(s"$outDir/_manifest/batch-*.json", s"$outDir/_manifest/epoch-*.json")
       .filter(g => fs.globStatus(new Path(g)).nonEmpty)
-    if (globs.isEmpty) None else Some(spark.read.json(globs: _*))
+    if (globs.isEmpty) None
+    else {
+      val m = spark.read.json(globs: _*)
+      Some(epochFloor match {
+        case Some(f) =>
+          val compactedRow =
+            if (m.columns.contains("compacted")) col("compacted") === true
+            else lit(false)
+          m.where(col("batchId") > f || (compactedRow && col("batchId") === f))
+        case None => m
+      })
+    }
   }
 
   /** Log compaction (Iceberg `rewrite_data_files`-style bin-packing):
@@ -198,11 +212,13 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
     * history is physically merged); at or above it works unchanged.
     * Returns the new epoch floor.
     *
-    * Concurrency: the flip itself is atomic, but post-flip cleanup deletes
-    * the retired dirs — a reader that resolved its dir list BEFORE the flip
-    * can transiently fail mid-scan. Run compaction between queries (e.g. at
-    * the streaming trigger boundary or from a maintenance job), like
-    * Iceberg's rewrite+expire.
+    * Concurrency: the flip itself is atomic, and cleanup is DEFERRED one
+    * epoch — artifacts retired by this flip stay on disk until the NEXT
+    * compaction, so a reader that resolved its dir list just before the
+    * flip finishes its scan against the (byte-identical) retired files.
+    * Physical deletion only touches artifacts invisible for a full epoch
+    * cycle — Iceberg's rewrite-now-expire-later, at the cost of ≤1 extra
+    * retained generation on disk.
     */
   def compact(upToBatch: Long = Long.MaxValue): Long = {
     val floor = epochFloor
@@ -237,14 +253,43 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
     out.write(body.getBytes("UTF-8")); out.close()
     if (!fs.rename(tmp, marker))
       throw new java.io.IOException(s"epoch marker rename failed for $c")
-    // ---- visibility flipped; everything below is lazy cleanup ----
-    eligible.foreach { id =>
-      fs.delete(new Path(batchDir(id)), true)
-      fs.delete(manifestPath(id), false)
-    }
-    floor.foreach { f =>
-      fs.delete(new Path(compactDir(f)), true)
-      fs.delete(new Path(f"$outDir/_manifest/epoch-$f%09d.json"), false)
+    // ---- visibility flipped; cleanup is DEFERRED one epoch ----
+    // Artifacts retired by THIS flip (the eligible batch dirs and the
+    // previous compacted dir) stay on disk until the NEXT compaction, so a
+    // reader that resolved its dir list just before the flip can still
+    // finish its scan — Iceberg's rewrite-now-expire-later. Only artifacts
+    // already invisible for a full epoch cycle (id ≤ previous floor) are
+    // physically deleted now. Manifest/visibility logic never sees the
+    // stale files: committedBatchIds and readManifest filter by the floor.
+    floor.foreach { p =>
+      val dirName = """batch=(\d+)""".r
+      fs.globStatus(new Path(s"$outDir/events/batch=*")).foreach { st =>
+        st.getPath.getName match {
+          case dirName(id) if id.toLong <= p => fs.delete(st.getPath, true)
+          case _ =>
+        }
+      }
+      val mName = """batch-(\d+)\.json""".r
+      fs.globStatus(new Path(s"$outDir/_manifest/batch-*.json")).foreach { st =>
+        st.getPath.getName match {
+          case mName(id) if id.toLong <= p => fs.delete(st.getPath, false)
+          case _ =>
+        }
+      }
+      val cName = """batch=(\d+)-compact""".r
+      fs.globStatus(new Path(s"$outDir/events/batch=*-compact")).foreach { st =>
+        st.getPath.getName match {
+          case cName(q) if q.toLong < p => fs.delete(st.getPath, true)
+          case _ =>
+        }
+      }
+      val eName = """epoch-(\d+)\.json""".r
+      fs.globStatus(new Path(s"$outDir/_manifest/epoch-*.json")).foreach { st =>
+        st.getPath.getName match {
+          case eName(q) if q.toLong < p => fs.delete(st.getPath, false)
+          case _ =>
+        }
+      }
     }
     c
   }

@@ -322,9 +322,14 @@ class ExportConfigSpec extends SparkSpec {
       while (sink.epochFloor.isEmpty && System.currentTimeMillis() < deadline)
         Thread.sleep(200L)
       assert(sink.epochFloor.nonEmpty, "compaction must land under the periodic trigger")
-      // let the stream drain the remaining input past the epoch
-      while (q.status.isDataAvailable && System.currentTimeMillis() < deadline)
+      // drain completely: isDataAvailable is false BETWEEN triggers, so poll
+      // the committed row count against the input instead of the status flag
+      val expected = ChangeStreamReader.batch(spark, streamDir).count()
+      def committed(): Long = Seq("events", "errors", "schema_changes")
+        .flatMap(s => sink.readCommitted(s).map(_.count())).sum
+      while (committed() < expected && System.currentTimeMillis() < deadline)
         Thread.sleep(200L)
+      assert(committed() == expected, "stream must drain all input before the check")
     } finally q.stop()
     assertSameRows(
       CdcPipeline.materialize(spark, out).toDF(),
