@@ -80,18 +80,33 @@ object LatencyMonitor {
   /** Reference threshold: 10 s (CDCMonitor.scala:28). */
   val DefaultAlertMs = 10000L
 
+  /** Historical-replay sanity ceiling: the latency alert exists to flag a
+    * LIVE stream falling behind; a replay of historical data (backfill,
+    * benchmark, savepoint re-run) makes every event vacuously "late" by
+    * months, and a warn per micro-batch drowns the very signal the alert is
+    * for (BENCH_r03 carried thousands of meaningless 86-billion-ms warns).
+    * Batches whose AVERAGE latency exceeds this ceiling are recorded in
+    * `history` but neither alert nor warn — one info line per pipeline
+    * notes the suppression.
+    */
+  val HistoricalCutoffMs: Long = 6L * 3600 * 1000
+
+  private val suppressedPipelines =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   // JVM-shared queues; every entry is keyed by `pipeline` so concurrent
   // pipelines in one JVM (tests, multi-stream drivers) can audit their own
   // batches — filter on it, and prefer clear(pipeline) over the global one
   val history = new ConcurrentLinkedQueue[LatencyStats]()
   val alerts = new ConcurrentLinkedQueue[LatencyStats]()
 
-  def clear(): Unit = { history.clear(); alerts.clear() }
+  def clear(): Unit = { history.clear(); alerts.clear(); suppressedPipelines.clear() }
 
   /** Remove one pipeline's entries without erasing a concurrent one's. */
   def clear(pipeline: String): Unit = {
     history.removeIf(_.pipeline == pipeline)
     alerts.removeIf(_.pipeline == pipeline)
+    suppressedPipelines.remove(pipeline)
     ()
   }
 
@@ -100,14 +115,23 @@ object LatencyMonitor {
     */
   def record(batchId: Long, maxLatencyMs: Long, avgLatencyMs: Double,
       lateEvents: Long, events: Long, alertMs: Long = DefaultAlertMs,
-      pipeline: String = "default"): LatencyStats = {
+      pipeline: String = "default",
+      historicalCutoffMs: Long = HistoricalCutoffMs): LatencyStats = {
     val st = LatencyStats(batchId, maxLatencyMs, avgLatencyMs, lateEvents, events, pipeline)
     history.add(st)
     if (st.lateEvents > 0) {
-      alerts.add(st)
-      org.apache.log4j.Logger.getLogger(getClass).warn(
-        f"[latency] batch=$batchId ${st.lateEvents} of ${st.events} events over ${alertMs}ms " +
-          f"(max=${st.maxLatencyMs}ms avg=${st.avgLatencyMs}%.0fms)")
+      if (st.avgLatencyMs > historicalCutoffMs) {
+        if (suppressedPipelines.add(pipeline))
+          org.apache.log4j.Logger.getLogger(getClass).info(
+            f"[latency] pipeline=$pipeline replaying historical data " +
+              f"(avg=${st.avgLatencyMs}%.0fms > ${historicalCutoffMs}ms ceiling) — " +
+              "live-latency alerts suppressed for this pipeline")
+      } else {
+        alerts.add(st)
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          f"[latency] batch=$batchId ${st.lateEvents} of ${st.events} events over ${alertMs}ms " +
+            f"(max=${st.maxLatencyMs}ms avg=${st.avgLatencyMs}%.0fms)")
+      }
     }
     st
   }

@@ -258,7 +258,13 @@ object Dedup {
       // pairs); below the cap a driver union-find closes components in one
       // collect + one linear pass — no per-iteration Spark jobs. The collect
       // is bounded by `driverMaxEdges` (~80 MB at the default), the same
-      // bounded-by-construction class as the k-means sample.
+      // bounded-by-construction class as the k-means sample. The count above
+      // materializes the cache, so this collect and everything after it are
+      // cache reads — vertex ids derive from the SAME collected array (one
+      // fewer Spark job than a distinct-union of endpoints; r3 flagged the
+      // operator's battery cost, so every job here must earn its keep).
+      val edgeArr = undirected.collect()
+      undirected.unpersist()
       val parent = scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -267,17 +273,15 @@ object Dedup {
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      undirected.collect().foreach { e =>
+      edgeArr.foreach { e =>
         val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
         // attach the larger root under the smaller: the component minimum
         // never gains a parent, so every root IS its component's min id
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
       }
-      val ids = undirected.select(col("src").as("id"))
-        .union(undirected.select(col("dst"))).distinct()
-        .as[Long].collect()
-      undirected.unpersist()
-      ids.toSeq.map(v => (v, find(v))).toDF("doc_id", "cluster")
+      val ids = edgeArr.iterator
+        .flatMap(e => Iterator(e.getLong(0), e.getLong(1))).toSet
+      ids.toSeq.sorted.map(v => (v, find(v))).toDF("doc_id", "cluster")
     } else {
       val edges = undirected
         .union(undirected.select(col("dst").as("src"), col("src").as("dst")))

@@ -64,7 +64,7 @@ object ChangeStreamReader {
       // with a DIFFERENT numFiles layout on an HDFS-like FS) would mix two
       // snapshot layouts and duplicate events
       if (!fs.rename(st.getPath, dst))
-        throw new java.io.IOException(s"snapshot spool rename failed: ${'$'}{st.getPath} -> ${'$'}dst")
+        throw new java.io.IOException(s"snapshot spool rename failed: ${st.getPath} -> $dst")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     fs.createNewFile(marker)
@@ -90,7 +90,7 @@ object ChangeStreamReader {
           org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, tmp, false,
             spark.sparkContext.hadoopConfiguration)
           if (!fs.rename(tmp, dst))
-            throw new java.io.IOException(s"change delivery rename failed: ${'$'}dst")
+            throw new java.io.IOException(s"change delivery rename failed: $dst")
           n += 1
         }
       }

@@ -48,6 +48,27 @@ class MetricsSpec extends SparkSpec {
     assert(graft.metrics.LatencyMonitor.history.size() == 2)
   }
 
+  test("latency monitor suppresses alerts on historical replays (sanity ceiling)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.metrics.LatencyMonitor.clear()
+    val now = System.currentTimeMillis()
+    def batch(tsMs: Long) =
+      Seq(tsMs).toDF("v").select(struct(col("v").as("ts_ms")).as("source"))
+    // a replayed 2023-era event is months "late" — vacuous for a live-lag
+    // alert: recorded in history, NOT alerted (BENCH_r03 alert-storm fix)
+    val replay = graft.metrics.LatencyMonitor.check(1L,
+      batch(now - 90L * 24 * 3600 * 1000), nowMs = now)
+    assert(replay.lateEvents == 1, "stats still computed for the audit trail")
+    assert(graft.metrics.LatencyMonitor.alerts.isEmpty,
+      "historical replay must not raise live-latency alerts")
+    assert(graft.metrics.LatencyMonitor.history.size() == 1)
+    // a genuinely-lagging live batch (30 s) still alerts after a suppression
+    graft.metrics.LatencyMonitor.check(2L, batch(now - 30000), nowMs = now)
+    assert(graft.metrics.LatencyMonitor.alerts.size() == 1,
+      "live lag below the ceiling must still alert")
+  }
+
   test("debug taps are pass-through observers with exact accumulator counts") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toLong, s"event-$i", "x" * 300))
