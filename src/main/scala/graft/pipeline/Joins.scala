@@ -114,9 +114,29 @@ object Joins {
   private val emptyAsOf = AsOfState(None, Vector.empty, Vector.empty, Long.MinValue)
 
   private def asOfProcess(k: String, it: Iterator[AsOfEvent],
-      state: GroupState[AsOfState], streaming: Boolean, strict: Boolean)
+      state: GroupState[AsOfState], streaming: Boolean, strict: Boolean,
+      idleTtlMs: Option[Long])
       : Iterator[AsOfJoined] = {
     var s = state.getOption.getOrElse(emptyAsOf)
+    // idle-key expiry: the timeout fired with nothing buffered — the key
+    // has seen no arrivals for a full TTL, so the retained right row is
+    // dropped (see asOfJoinStream's retention contract)
+    if (state.hasTimedOut && idleTtlMs.isDefined &&
+        s.pendingLeft.isEmpty && s.pendingRight.isEmpty) {
+      state.remove()
+      return Iterator.empty
+    }
+    // data-path expiry: a key whose NEXT arrival lands in the same batch
+    // the TTL elapses never gets its timeout invoked (timeouts only fire
+    // for keys without data — the same starvation the CEP drain fixes), so
+    // the idle window is also checked on arrival: frontierMs is the
+    // watermark at the key's last drain, i.e. its last activity
+    if (streaming) idleTtlMs.foreach { ttl =>
+      if (s.pendingLeft.isEmpty && s.pendingRight.isEmpty &&
+          s.frontierMs > Long.MinValue &&
+          state.getCurrentWatermarkMs() - s.frontierMs >= ttl)
+        s = s.copy(lastRight = None)
+    }
     // ingest: anything at or below the already-emitted frontier is late
     // beyond the watermark contract → dropped (same rule as append windows)
     it.foreach { e =>
@@ -152,9 +172,16 @@ object Joins {
     s = s.copy(lastRight = last, pendingLeft = waitL, pendingRight = waitR,
       frontierMs = math.max(s.frontierMs, wm))
     state.update(s)
-    if (streaming && (waitL.nonEmpty || waitR.nonEmpty)) {
-      val minPending = (waitL ++ waitR).iterator.map(_.tsMs).min
-      state.setTimeoutTimestamp(math.max(minPending, wm + 1))
+    if (streaming) {
+      if (waitL.nonEmpty || waitR.nonEmpty) {
+        val minPending = (waitL ++ waitR).iterator.map(_.tsMs).min
+        state.setTimeoutTimestamp(math.max(minPending, wm + 1))
+      } else idleTtlMs.foreach { ttl =>
+        // nothing buffered: arm the idle clock — fires only if the key sees
+        // no arrivals until the watermark passes (wm + ttl), at which point
+        // the retained right row is removed (top of this method)
+        state.setTimeoutTimestamp(math.max(wm, 0L) + ttl)
+      }
     }
     out.iterator
   }
@@ -172,9 +199,20 @@ object Joins {
     * (watermark-delay-bounded); parallelism is #keys, the same sharding as
     * every other keyed stage. `events` must carry a watermark on `ts` in
     * streaming mode; batch mode (`streaming=false`) seals everything.
+    *
+    * Retention contract: without `idleTtlMs`, a key's `lastRight` is held
+    * FOREVER once its buffers drain — state grows with total distinct keys
+    * over the stream's lifetime (fine for bounded key universes like
+    * conversation ids within a retention window; wrong for unbounded ones).
+    * With `idleTtlMs = Some(ttl)`, a key idle for `ttl` of EVENT time (no
+    * arrivals while the watermark advances past lastActivity + ttl) is
+    * dropped entirely — a later left event for it gets a null match, the
+    * same answer a fresh key gets. That is the standard state-TTL tradeoff
+    * (Flink temporal-join state retention): bound memory by forgetting
+    * history older than the TTL.
     */
   def asOfJoinStream(events: Dataset[AsOfEvent], streaming: Boolean = true,
-      strict: Boolean = false): Dataset[AsOfJoined] = {
+      strict: Boolean = false, idleTtlMs: Option[Long] = None): Dataset[AsOfJoined] = {
     val spark = events.sparkSession
     import spark.implicits._
     val timeoutConf =
@@ -182,8 +220,8 @@ object Joins {
     events.groupByKey(_.k)
       .flatMapGroupsWithState[AsOfState, AsOfJoined](OutputMode.Append, timeoutConf) {
         (k, it, state) =>
-          if (state.hasTimedOut) asOfProcess(k, Iterator.empty, state, streaming, strict)
-          else asOfProcess(k, it, state, streaming, strict)
+          if (state.hasTimedOut) asOfProcess(k, Iterator.empty, state, streaming, strict, idleTtlMs)
+          else asOfProcess(k, it, state, streaming, strict, idleTtlMs)
       }
   }
 

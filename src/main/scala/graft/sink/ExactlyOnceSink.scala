@@ -41,10 +41,52 @@ import org.apache.spark.sql.functions._
   * pass, no re-read of the written files — and publishes it via `commit`.
   */
 final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
-    maxRecordsPerFile: Long = 0L) extends Serializable {
+    maxRecordsPerFile: Long = 0L,
+    rollingFileSizeBytes: Long = 0L) extends Serializable {
 
   private def fs: FileSystem =
     FileSystem.get(new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+
+  /** Observed parquet bytes per row across the batches committed so far —
+    * drives the size-based rolling policy (reference S3Sink rolls files at
+    * `rollingFileSize` bytes; Spark's writer caps RECORDS per file, so the
+    * byte target is converted with this measured rate). Includes per-file
+    * overhead (footer/dictionary), which biases the derived cap DOWN —
+    * i.e. files land under the byte target, never past it. Before the
+    * first measurement a conservative `BootstrapRowBytes` overestimate
+    * applies (same under-the-target bias).
+    */
+  @volatile private var observedRowBytes: Double = 0.0
+
+  private val BootstrapRowBytes = 1024.0
+
+  /** The per-file record cap for the next write: the explicit record cap,
+    * the byte-derived cap, or the tighter of the two.
+    */
+  private def effectiveMaxRecords: Long = {
+    val sizeCap =
+      if (rollingFileSizeBytes <= 0) 0L
+      else {
+        val est = if (observedRowBytes > 0) observedRowBytes else BootstrapRowBytes
+        math.max(1L, (rollingFileSizeBytes / est).toLong)
+      }
+    if (maxRecordsPerFile > 0 && sizeCap > 0) math.min(maxRecordsPerFile, sizeCap)
+    else math.max(maxRecordsPerFile, sizeCap)
+  }
+
+  /** Re-measure bytes/row from a just-written batch dir (listing only —
+    * no data read; rows come from the commit lineage, already computed).
+    */
+  private def observeWritten(dir: String, rows: Long): Unit =
+    if (rollingFileSizeBytes > 0 && rows > 0 && fs.exists(new Path(dir))) {
+      val it = fs.listFiles(new Path(dir), true)
+      var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+      }
+      if (bytes > 0) observedRowBytes = bytes.toDouble / rows
+    }
 
   private def manifestPath(batchId: Long) = new Path(f"$outDir/_manifest/batch-$batchId%09d.json")
 
@@ -102,16 +144,18 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
       .drop("w_salt")
       .sortWithinPartitions("route", "src_table", "p_date")
       .write.mode("overwrite")
-      // size-based rolling on the committed files (0 = unlimited — Spark's
-      // own convention for spark.sql.files.maxRecordsPerFile); ≙ reference
-      // rolling policy S3Sink.scala:116-120, recast as a record cap
-      .option("maxRecordsPerFile", maxRecordsPerFile)
+      // rolling on the committed files (0 = unlimited — Spark's own
+      // convention for spark.sql.files.maxRecordsPerFile); ≙ reference
+      // rolling policy S3Sink.scala:116-120: the explicit record cap and/or
+      // the byte target via the measured bytes-per-row rate
+      .option("maxRecordsPerFile", effectiveMaxRecords)
       .partitionBy("route", "src_table", "p_date")
       .parquet(dir)
   }
 
   /** Atomically publish the batch (rename makes the commit visible). */
   def commit(batchId: Long, lineage: Seq[(String, Long, Long, Long)]): Unit = {
+    observeWritten(batchDir(batchId), lineage.map(_._2).sum)
     val tmp = new Path(f"$outDir/_manifest/.tmp-batch-$batchId%09d.json")
     val dst = manifestPath(batchId)
     fs.mkdirs(dst.getParent)

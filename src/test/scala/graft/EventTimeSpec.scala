@@ -304,6 +304,52 @@ class EventTimeSpec extends SparkSpec {
     assertSameRows(got2, want, "redelivered stream still == batch")
   }
 
+  test("streaming as-of: idle-key TTL drops retained state; no TTL retains it") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    def ts(sec: Long) = new Timestamp(t0 + sec * 1000)
+    def ev(k: String, sec: Long, tie: Long, isLeft: Boolean) =
+      graft.pipeline.Joins.AsOfEvent(k, ts(sec), tie, isLeft, "{}")
+    // key "a": right at 10s, left at 20s (matches), then silence while the
+    // watermark advances a day at a time, then a late left at 259200s
+    val files = Seq(
+      "b1" -> Seq(ev("a", 10, 200L, false)),
+      "b2" -> Seq(ev("a", 20, 100L, true)),
+      "b3" -> Seq(ev("zz", 86400, 900L, false)),
+      "b4" -> Seq(ev("zz", 172800, 901L, false)),
+      "b5" -> Seq(ev("a", 259200, 101L, true)),
+      "b6" -> Seq(ev("zz", 345600, 902L, false)),
+      "b7" -> Seq(ev("zz", 432000, 903L, false)))
+    def run(ttl: Option[Long], tag: String): Map[Long, Long] = {
+      val dir = tmpDir(s"asofttl$tag")
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      files.foreach { case (name, es) =>
+        val tmp = s"$dir/.tmp-$name"
+        spark.createDataset(es).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val schema = Encoders.product[graft.pipeline.Joins.AsOfEvent].schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .withWatermark("ts", "5 seconds").as[graft.pipeline.Joins.AsOfEvent]
+      runToMemory(graft.pipeline.Joins.asOfJoinStream(stream, idleTtlMs = ttl).toDF(),
+        s"asof_ttl_$tag", "append")
+        .where(col("k") === "a")
+        .collect().map(r => r.getAs[Long]("tie") ->
+          (if (r.isNullAt(r.fieldIndex("matched_tie"))) -1L else r.getAs[Long]("matched_tie")))
+        .toMap
+    }
+    // 1h TTL: the first left still matches (state alive), the late left
+    // finds the key expired → null match
+    assert(run(Some(3600L * 1000), "on") == Map(100L -> 200L, 101L -> -1L),
+      "TTL must expire the idle key's retained right row")
+    // no TTL: documented retain-forever behavior — the late left matches
+    assert(run(None, "off") == Map(100L -> 200L, 101L -> 200L),
+      "without TTL the retained right row must survive idle periods")
+  }
+
   // ---------------- stream-stream join ----------------
 
   test("tool-call/response stream-stream join: streaming == batch") {

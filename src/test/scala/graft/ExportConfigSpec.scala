@@ -237,6 +237,86 @@ class ExportConfigSpec extends SparkSpec {
     assert(ev.count() > 25L, "fixture must be large enough to roll")
   }
 
+  test("sink rollingFileSize caps committed file bytes end-to-end") {
+    val tableDir = tmpDir("bytetable")
+    val streamDir = tmpDir("bytestream")
+    val out = tmpDir("byteout")
+    TranscriptGen.writeTable(spark, GenConfig(numConvs = 40, avgTurns = 8), tableDir)
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    ChangeStreamReader.spoolSnapshot(spark, tableDir, streamDir)
+    val byteCap = 16384L // 16 KB — far below one batch's volume
+    val q = CdcPipeline.start(spark, streamDir, out, tmpDir("byteck"),
+      maxFilesPerTrigger = 4, rollingFileSizeBytes = byteCap)
+    q.awaitTermination()
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listFiles(new org.apache.hadoop.fs.Path(s"$out/events"), true)
+    var n = 0
+    var maxLen = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) { n += 1; maxLen = math.max(maxLen, f.getLen) }
+    }
+    // the record cap is derived from measured bytes/row (bootstrap estimate
+    // on batch 1) — enforce the byte target with a 2× slack for parquet
+    // footer granularity and the coarseness of a per-file record count
+    assert(maxLen <= 2 * byteCap,
+      s"committed file of $maxLen bytes exceeds the $byteCap-byte rolling target")
+    // and rolling must actually have split output (not one file per bucket)
+    val sink = new ExactlyOnceSink(spark, out)
+    assert(n > sink.committedBatchIds.size, "size policy must roll files within batches")
+    // rolling must not drop or duplicate anything: every input event lands
+    // in exactly one committed route
+    val committed = Seq("events", "errors", "schema_changes")
+      .flatMap(s => sink.readCommitted(s).map(_.count())).sum
+    assert(committed == ChangeStreamReader.batch(spark, streamDir).count(),
+      "rolled output must carry every input event exactly once")
+  }
+
+  test("config: rollingInterval caps the continuous trigger period (time-based rolling)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // rollingInterval below the env checkpoint interval wins (files must
+    // close at least every rollingInterval)...
+    val c = AppConfig.load(Seq("env=prod", "mode=continuous", "rollingInterval=2sec")).toOption.get
+    assert(CdcPipeline.triggerFor(c) == Trigger.ProcessingTime(2000L))
+    // ...and the default 5min rollingInterval does not stretch a 60s cadence
+    val d = AppConfig.load(Seq("env=prod", "mode=continuous")).toOption.get
+    assert(CdcPipeline.triggerFor(d) == Trigger.ProcessingTime(60000L))
+  }
+
+  test("config: parallelism drives the session core count (forked pipeline run)") {
+    // the knob can only be proven in a FRESH JVM (this suite's session is
+    // already built); fork graft.Main pipeline with parallelism=3 and read
+    // the session facts it prints
+    val tableDir = tmpDir("partable")
+    val workDir = tmpDir("parwork")
+    TranscriptGen.writeTable(spark, GenConfig(numConvs = 10, avgTurns = 4, changeFiles = 1), tableDir)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+      "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Main", "pipeline",
+      s"tableDir=$tableDir", s"workDir=$workDir", "parallelism=3")
+    val outBuf = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+    var line = reader.readLine()
+    while (line != null) { outBuf.append(line).append('\n'); line = reader.readLine() }
+    assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "forked pipeline timed out")
+    assert(proc.exitValue() == 0, s"forked pipeline failed:\n${outBuf.takeRight(4000)}")
+    val outStr = outBuf.toString
+    assert(outStr.contains("cores=3") && outStr.contains("master=local[3]"),
+      s"parallelism=3 must build a 3-core session; got:\n${outStr.linesIterator.filter(_.contains("[pipeline]")).mkString("\n")}")
+  }
+
   test("config: mode selects the trigger; continuous uses the env checkpoint interval") {
     import org.apache.spark.sql.streaming.Trigger
     val avail = AppConfig.load(Seq("env=prod")).toOption.get
@@ -335,6 +415,41 @@ class ExportConfigSpec extends SparkSpec {
       CdcPipeline.materialize(spark, out).toDF(),
       TranscriptGen.finalState(spark, cfg).toDF(),
       "state after mid-stream compaction under the periodic trigger")
+  }
+
+  test("savepoint: relocatable — resumes after the ORIGINAL workDir is deleted") {
+    val tableDir = tmpDir("rltable")
+    val w = tmpDir("rlwork")
+    val dest = s"${tmpDir("rldest")}/sp" // must not pre-exist
+    val cfg = GenConfig(numConvs = 40, avgTurns = 8, changeFiles = 3)
+    TranscriptGen.writeTable(spark, cfg, tableDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // phase 1: snapshot + first change file only (Main `run` layout: stream
+    // under the workDir)
+    ChangeStreamReader.deliverChanges(spark, tableDir, s"$w/stream", phaseFilter = _ == 0)
+    CdcPipeline.runAvailable(spark, tableDir, s"$w/stream", s"$w/out", s"$w/checkpoint")
+    pipeline.Savepoint.create(spark, w, dest)
+    // the savepoint must be SELF-CONTAINED: destroy the original lineage
+    fs.delete(new org.apache.hadoop.fs.Path(w), true)
+    // resume from the savepoint alone: deliver the remaining phases into
+    // the savepoint's own stream dir and drain
+    ChangeStreamReader.deliverChanges(spark, tableDir, s"$dest/stream")
+    CdcPipeline.runAvailable(spark, tableDir, s"$dest/stream", s"$dest/out", s"$dest/checkpoint")
+    assertSameRows(
+      CdcPipeline.materialize(spark, s"$dest/out").toDF(),
+      TranscriptGen.finalState(spark, cfg).toDF(),
+      "relocated savepoint resume vs oracle")
+    // exactly-once across the cut: phase-1 batches must not have re-ingested
+    // (every input event committed exactly once)
+    val sink = new ExactlyOnceSink(spark, s"$dest/out")
+    val committed = Seq("events", "errors", "schema_changes")
+      .flatMap(s => sink.readCommitted(s).map(_.count())).sum
+    assert(committed == ChangeStreamReader.batch(spark, s"$dest/stream").count(),
+      "relocated resume must neither duplicate nor drop events")
+    // corrupt marker fails loudly instead of guessing a stream dir
+    val mk = fs.create(new org.apache.hadoop.fs.Path(s"$dest/savepoint.json"), true)
+    mk.write("""{"oops":true}""".getBytes("UTF-8")); mk.close()
+    intercept[IllegalStateException](pipeline.Savepoint.streamDirOf(fs, dest))
   }
 
   test("savepoint: a copied checkpoint resumes identically (no dupes/loss)") {
