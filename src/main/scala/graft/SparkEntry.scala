@@ -344,19 +344,21 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
     // q31 mirror: rank orders by the ROUNDED tfidf then term, so ln() ulp
-    // differences cannot flip ranks cross-engine.
+    // differences cannot flip ranks cross-engine; the EMITTED columns are
+    // the integer-exact (tf, df) — a float score within ~1 ulp of a
+    // rounding boundary could round differently per engine (r3 advice).
     "q31_tfidf" ->
       """WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf
         |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |                  FROM documents) GROUP BY 1, 2),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT count(*) AS n_docs FROM documents),
-        |s AS (SELECT doc_id, term, tf.tf,
+        |s AS (SELECT doc_id, term, tf.tf, df.df,
         |        round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
         |      FROM tf JOIN df USING (term), n),
         |r AS (SELECT *, row_number() OVER (
         |        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s)
-        |SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 3""".stripMargin,
+        |SELECT doc_id, term, tf, df FROM r WHERE rn <= 3""".stripMargin,
     // q32 mirror: 8-gram overlap with the doc_id % 20 = 0 eval slice.
     "q32_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -418,14 +420,28 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     // q23 mirror: modality routing, payload byte counts, and frame sampling
     // are pure integer arithmetic over the UTF-8 text payload
-    // (Multimodal.mediaFromDocuments / sampleFrames); the float feature
-    // fold (avg_f0) is decode-stub-specific and covered by OpsSpec instead.
+    // (Multimodal.mediaFromDocuments / sampleFrames). avg_f0 mirrors the
+    // integer-exact feature-lane fold (Multimodal.f0Numerator: unsigned
+    // bytes at positions ≡ 0 mod 16, extracted here via hex pairs), then
+    // ONE double division chain + round — bit-identical cross-engine.
     "q23_multimodal" ->
-      """SELECT CASE CAST(doc_id % 3 AS INTEGER)
-        |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  count(*) AS n_media,
-        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        |  CAST(sum(((octet_length(encode(text)) // 64) + 3) // 4) AS BIGINT) AS total_frames
-        |FROM documents GROUP BY 1""".stripMargin
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, modality, len,
+        |    coalesce(list_aggregate(
+        |      list_transform(generate_series(0, (len - 1) // 16),
+        |        j -> ('0x' || substr(h, 32*j + 1, 2))::INT), 'sum'), 0) AS f0_num
+        |  FROM m)
+        |SELECT modality, count(*) AS n_media,
+        |  CAST(sum(len) AS BIGINT) AS total_bytes,
+        |  CAST(sum(((len // 64) + 3) // 4) AS BIGINT) AS total_frames,
+        |  round(sum(f0_num) / 255.0 / sum(greatest(1, len // 16)), 4) AS avg_f0
+        |FROM f GROUP BY modality""".stripMargin
   )
 }

@@ -37,6 +37,14 @@ final case class AppConfig(
     /** Run sink log compaction every N committed batches (0 = never).
       * Bounds manifest/file growth on a continuous deployment — the
       * Iceberg rewrite+expire cadence, at the trigger boundary.
+      *
+      * Minimum-safe cadence: physical deletion of retired artifacts is
+      * deferred exactly ONE epoch (ExactlyOnceSink.compact), so an
+      * external reader's dir list stays valid for one full compaction
+      * cycle = compactEveryBatches × trigger interval. Set the cadence so
+      * that product comfortably exceeds the longest concurrent external
+      * scan (e.g. an export job); a tiny compactEvery under a fast trigger
+      * shrinks the grace window toward zero.
       */
     compactEveryBatches: Long = 0L
 ) {

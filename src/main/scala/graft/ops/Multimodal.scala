@@ -22,7 +22,7 @@ object Multimodal {
       width: Int, height: Int, sample_rate: Int)
 
   final case class MediaFeatures(media_id: Long, modality: String, n_bytes: Int,
-      features: Array[Float], n_frames: Int)
+      features: Array[Float], n_frames: Int, f0_num: Long)
 
   val FeatureDim = 16
 
@@ -42,6 +42,19 @@ object Multimodal {
   /** Frame sampling stand-in: one "frame" per 64-byte block, stride-sampled. */
   def sampleFrames(payload: Array[Byte], everyNth: Int): Int =
     (payload.length / 64 + everyNth - 1) / everyNth
+
+  /** Integer-exact numerator of the first feature lane: the sum of the
+    * unsigned bytes feeding features(0) (positions ≡ 0 mod FeatureDim).
+    * Carried alongside the float features so downstream aggregates can be
+    * oracle-checked bit-for-bit — float32 accumulation order is not
+    * reproducible across engines, exact integers are.
+    */
+  def f0Numerator(payload: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < payload.length) { s += payload(i) & 0xff; i += FeatureDim }
+    s
+  }
 
   /** Synthesize a media table from the documents fixture (text bytes as the
     * opaque payload) — deterministic, schema-realistic.
@@ -69,12 +82,18 @@ object Multimodal {
       // per-partition decoder init would go here
       it.map { m =>
         MediaFeatures(m.media_id, m.modality, m.payload.length,
-          fakeDecode(m.payload), sampleFrames(m.payload, frameStride))
+          fakeDecode(m.payload), sampleFrames(m.payload, frameStride),
+          f0Numerator(m.payload))
       }
     }
   }
 
-  /** Per-modality feature statistics — the downstream agg a pipeline feeds. */
+  /** Per-modality feature statistics — the downstream agg a pipeline feeds.
+    * `avg_f0` is the corpus-weighted first feature lane computed from the
+    * integer-exact fold (Σ f0_num / 255 / Σ per-doc normalizer) so the
+    * whole row — including the float column — is reproducible in any
+    * engine: two exact BIGINT sums, one double division chain, one round.
+    */
   def modalityStats(media: DataFrame): DataFrame =
     extractFeatures(media).toDF()
       .groupBy("modality")
@@ -82,5 +101,7 @@ object Multimodal {
         count(lit(1)).as("n_media"),
         sum(col("n_bytes").cast("long")).as("total_bytes"),
         sum(col("n_frames").cast("long")).as("total_frames"),
-        round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+        round(sum(col("f0_num")) / 255.0 /
+          sum(greatest(lit(1L), floor(col("n_bytes") / FeatureDim).cast("long"))), 4)
+          .as("avg_f0"))
 }

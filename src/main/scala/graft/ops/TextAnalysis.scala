@@ -144,6 +144,12 @@ object TextAnalysis {
     * is a running row_number over the (doc) shuffle. Ranking orders by the
     * ROUNDED score then term, so rank is reproducible cross-engine even
     * where ln() differs in the last ulp.
+    *
+    * The EMITTED columns are the integer-exact (tf, df) rather than the
+    * float score: a tfidf value within ~1 ulp of a 0.00005 rounding
+    * boundary can round differently per engine (r3 advice) — the score is
+    * recomputable from (tf, df, N), so emitting the exact integers keeps
+    * the oracle check bit-exact without weakening it.
     */
   def tfIdf(docs: DataFrame, topK: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -159,7 +165,7 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= topK)
-      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+      .select(col(idCol), col("term"), col("tf"), col("df"))
   }
 
   /** Convenience projection of all per-document text features. */

@@ -239,10 +239,11 @@ object Queries {
         sum(graft.ops.TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("total_bpe"),
         max(graft.ops.TextAnalysis.bpeTokenCount(col("text"))).cast("long").as("max_bpe"))
 
-  /** q23: multimodal decode plumbing + per-modality stats. The oracle covers
-    * the integer columns (routing, byte accounting, frame sampling) exactly;
-    * the float feature fold (avg_f0) is decode-stub-specific and pinned by
-    * OpsSpec determinism/partition-invariance tests instead.
+  /** q23: multimodal decode plumbing + per-modality stats. All five columns
+    * are oracle-checked: routing, byte accounting and frame sampling are
+    * pure integer arithmetic, and avg_f0 derives from the integer-exact
+    * feature-lane fold (Multimodal.f0Numerator) so even the float column
+    * reproduces bit-for-bit in DuckDB.
     */
   /** q26: dedup clustering — near-dup pairs (the q11/q12 operator) collapsed
     * into connected components; each doc labeled with its cluster's min id
@@ -375,5 +376,6 @@ object Queries {
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))
-      .select(col("modality"), col("n_media"), col("total_bytes"), col("total_frames"))
+      .select(col("modality"), col("n_media"), col("total_bytes"), col("total_frames"),
+        col("avg_f0"))
 }

@@ -262,7 +262,11 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
     * flip finishes its scan against the (byte-identical) retired files.
     * Physical deletion only touches artifacts invisible for a full epoch
     * cycle — Iceberg's rewrite-now-expire-later, at the cost of ≤1 extra
-    * retained generation on disk.
+    * retained generation on disk. The grace window is therefore ONE epoch
+    * cycle of wall time: a reader slower than that (dir list older than a
+    * full cycle) can still hit deleted files — size `compactEveryBatches`
+    * × trigger interval above the longest expected external scan (see the
+    * config scaladoc); deletion is never gated on reader liveness.
     */
   def compact(upToBatch: Long = Long.MaxValue): Long = {
     val floor = epochFloor

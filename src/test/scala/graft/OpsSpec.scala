@@ -399,13 +399,15 @@ class OpsSpec extends SparkSpec {
     assert(v.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
 
-  test("tf-idf: corpus-wide terms score zero, rare terms rank first") {
+  test("tf-idf: corpus-wide terms rank last, rare terms first; (tf, df) exact") {
     import spark.implicits._
     val d = Seq((0L, "a b"), (1L, "a c")).toDF("doc_id", "text")
-    val s = TextAnalysis.tfIdf(d, topK = 3).collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
-    assert(s((0L, "a")) == 0.0 && s((1L, "a")) == 0.0) // df = N → ln(1) = 0
-    assert(s((0L, "b")) == 0.6931 && s((1L, "c")) == 0.6931)
+    val rows = TextAnalysis.tfIdf(d, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // emitted columns are the integer-exact (tf, df); the score
+    // tf·ln(N/df) is derivable: df = N → 0, rare df=1 → ln 2
+    assert(rows((0L, "a")) == ((1L, 2L)) && rows((1L, "a")) == ((1L, 2L)))
+    assert(rows((0L, "b")) == ((1L, 1L)) && rows((1L, "c")) == ((1L, 1L)))
   }
 
   test("decontaminate: drops eval docs and 8-gram-overlap paraphrases only") {
