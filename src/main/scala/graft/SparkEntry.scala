@@ -58,7 +58,8 @@ object SparkEntry {
     "q35_stratified_sample" -> (Queries.q35StratifiedSample _),
     "q36_cube" -> (Queries.q36Cube _),
     "q37_funnel" -> (Queries.q37Funnel _),
-    "q38_len_histogram" -> (Queries.q38LenHistogram _)
+    "q38_len_histogram" -> (Queries.q38LenHistogram _),
+    "q39_substring_dedup" -> (Queries.q39SubstringDedup _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -442,6 +443,30 @@ object SparkEntry {
         |  CAST(sum(len) AS BIGINT) AS total_bytes,
         |  CAST(sum(((len // 64) + 3) // 4) AS BIGINT) AS total_frames,
         |  round(sum(f0_num) / 255.0 / sum(greatest(1, len // 16)), 4) AS avg_f0
-        |FROM f GROUP BY modality""".stripMargin
+        |FROM f GROUP BY modality""".stripMargin,
+    // q39 mirror: the operator fingerprints windows (60-bit md5) and
+    // counts occurrences by fingerprint; the oracle groups by the window
+    // TEXT itself — semantically identical (a collision would over-flag
+    // and fail this check, probability ~ spans²/2^60). Windows are ALL
+    // positions (not distinct-per-doc): a doc counts one dup span per
+    // occurrence of a cross-document-shared window.
+    "q39_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |        w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
+        |      FROM t, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 7),
+        |d AS (SELECT gram FROM g GROUP BY gram
+        |      HAVING count(DISTINCT doc_id) >= 2 AND count(*) >= 2),
+        |dc AS (SELECT doc_id, count(*) AS n_dup FROM g JOIN d USING (gram)
+        |       GROUP BY doc_id),
+        |ns AS (SELECT doc_id, len(string_split(text, ' ')) - 7 AS n_spans
+        |       FROM documents WHERE len(string_split(text, ' ')) >= 8)
+        |SELECT ns.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+        |  round(coalesce(n_dup, 0) / (n_spans * 1.0), 4) AS dup_frac
+        |FROM ns LEFT JOIN dc ON ns.doc_id = dc.doc_id""".stripMargin
   )
 }

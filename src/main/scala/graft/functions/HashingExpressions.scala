@@ -143,6 +143,25 @@ object HashingKernels {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-gram windows in order (array index = token offset) — the
+    * positional twin of `wordNgrams` for span-level operators, where every
+    * occurrence and its exact offset matter (duplicateSpans).
+    */
+  def wordNgramsAll(text: UTF8String, n: Int): ArrayData = {
+    val w = text.toString.split(" ", -1)
+    if (w.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](w.length - n + 1)
+    var i = 0
+    while (i <= w.length - n) {
+      val sb = new java.lang.StringBuilder(w(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(w(i + k)); k += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit unweighted SimHash over md5 token hashes in ONE pass per
     * document — replaces the explode + 60-conditional-sum aggregate shape
     * (2M shuffled rows and a wide groupBy at sf0.1) with a narrow codegen'd
@@ -297,6 +316,23 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** word_ngrams_all(text, n): every n-gram window in order (index = token
+  * offset) — positional, frequency-preserving twin of word_ngrams.
+  */
+case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "word_ngrams_all: n must be positive")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams_all"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.wordNgramsAll(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.wordNgramsAll($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsAll =
+    copy(child = newChild)
+}
+
 /** simhash60(text): one-pass 60-bit SimHash signature (narrow, codegen'd). */
 case class Simhash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -396,6 +432,9 @@ object GraftFunctions {
     (new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (args: Seq[Expression]) => WordNgrams(args.head, intLit(args(1), "n"))),
+    (new FunctionIdentifier("word_ngrams_all"),
+      new ExpressionInfo(classOf[WordNgramsAll].getName, "word_ngrams_all"),
+      (args: Seq[Expression]) => WordNgramsAll(args.head, intLit(args(1), "n"))),
     (new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
       (args: Seq[Expression]) => Simhash60(args.head)),

@@ -525,4 +525,45 @@ object Dedup {
       .select(col("id").as(idCol)).distinct()
     corpus.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** SUBSTRING-level dedup: find repeated k-token spans ACROSS the corpus —
+    * the complement of the doc-level operators above, and what production
+    * corpus pipelines run in addition to them (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * public suffix-array/fingerprint technique; this is the fingerprint-
+    * window form). A boilerplate header shared by thousands of otherwise-
+    * distinct pages never reaches jaccard 0.6, but its span repeats
+    * verbatim — exactly what this flags for cutting.
+    *
+    * Every k-token sliding window is fingerprinted (engine-neutral 60-bit
+    * md5 hash of the window text); a window is DUPLICATED when its
+    * fingerprint occurs in ≥ `minDocs` distinct documents and ≥ `minOcc`
+    * times overall (defaults flag cross-document repeats; `minDocs = 1,
+    * minOcc = 2` flags within-document repetition instead).
+    *
+    * Output: one row per duplicated window occurrence —
+    * (id, pos, fp, n_docs, n_occ) with `pos` the 0-based token offset, so
+    * a downstream pass can cut or collapse the exact spans.
+    *
+    * Scale: after the narrow fingerprint projection, everything shuffles
+    * on the 8-byte fp — the window TEXT never enters an exchange (PlanSpec
+    * asserts it). Two fp shuffles (occurrence count + join back); the
+    * duplicated-fp side is the output of a HAVING-style filter, small
+    * enough for AQE to broadcast in the common case. fp collisions merge
+    * unrelated windows at ~(#windows)²/2⁶⁰ — immaterial below ~10⁹ spans
+    * per fingerprint space, and a collision can only over-flag.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+      minOcc: Int = 2, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && minDocs >= 1 && minOcc >= 1, "duplicateSpans: bad params")
+    val spans = docs.select(col(idCol).as("id"),
+        posexplode(call_function("word_ngrams_all", col(textCol), lit(k))).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"),
+        graft.ops.TextAnalysis.tokenHash60(col("gram")).as("fp"))
+    val dup = spans.groupBy(col("fp"))
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= minDocs && col("n_occ") >= minOcc)
+    spans.join(dup, Seq("fp"))
+      .select(col("id"), col("pos"), col("fp"), col("n_docs"), col("n_occ"))
+  }
 }

@@ -373,6 +373,28 @@ object Queries {
         .cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
 
+  /** q39: substring-level dedup report — per document, how many of its
+    * 8-token sliding windows repeat verbatim in OTHER documents (the Lee
+    * et al. 2021 substring-dedup signal; complements doc-level q10–q13).
+    * n_spans derives from the token count arithmetically (narrow, no
+    * second explode); the dup counts come from the fingerprint-window
+    * operator.
+    */
+  def q39SubstringDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val k = 8
+    val dupPerDoc = graft.ops.Dedup.duplicateSpans(docs, k = k, minDocs = 2)
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"))
+    docs.select(col("doc_id"),
+        (graft.ops.TextAnalysis.tokenCount(col("text")) - (k - 1)).cast("long").as("n_spans"))
+      .where(col("n_spans") >= 1)
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup_spans"), lit(0L)) / col("n_spans"), 4).as("dup_frac"))
+  }
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

@@ -446,6 +446,29 @@ class OpsSpec extends SparkSpec {
       "partition-invariant")
   }
 
+  test("duplicateSpans: cross-doc spans at exact positions; within-doc via minOcc") {
+    import spark.implicits._
+    val s8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (0L, s"a1 a2 $s8 a3"), // shared window at pos 2
+      (1L, s"b1 $s8 b2 b3"), // shared window at pos 1
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8"), // self-repeat at 0 and 8
+      (3L, "short doc") // < k tokens: no windows at all
+    ).toDF("doc_id", "text")
+    def spans(minDocs: Int, minOcc: Int): Set[(Long, Int)] =
+      Dedup.duplicateSpans(docs, k = 8, minDocs = minDocs, minOcc = minOcc)
+        .select("id", "pos").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // cross-document mode: only the span shared by docs 0 and 1
+    assert(spans(minDocs = 2, minOcc = 2) == Set((0L, 2), (1L, 1)))
+    // repetition mode: additionally flags doc 2's self-repeated span at
+    // both occurrences
+    assert(spans(minDocs = 1, minOcc = 2) == Set((0L, 2), (1L, 1), (2L, 0), (2L, 8)))
+    // metadata: the shared fingerprint reports 2 docs / 2 occurrences
+    val meta = Dedup.duplicateSpans(docs, k = 8)
+      .select("n_docs", "n_occ").distinct().collect()
+    assert(meta.length == 1 && meta(0).getLong(0) == 2L && meta(0).getLong(1) == 2L)
+  }
+
   test("multimodal: deterministic features, fixed dim, partition-local") {
     val media = Multimodal.mediaFromDocuments(docs)
     val f1 = Multimodal.extractFeatures(media).toDF()

@@ -120,6 +120,18 @@ class PlanSpec extends SparkSpec {
     assert(!badExchange, "no shuffle of document text:\n" + p.take(800))
   }
 
+  test("q39: spans shuffle as 8-byte fingerprints — window text never in an exchange") {
+    val p = plan(Queries.q39SubstringDedup(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the fingerprint projection precedes every shuffle: no exchange may
+    // carry the window text or the gram strings (at 100 TB the exchanges
+    // move 8-byte keys, not the corpus)
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("text#") || l.contains("gram#")))
+    assert(!bad, "no shuffle of window/document text:\n" + p.take(800))
+  }
+
   test("q29: repetition report is a single narrow projection (no shuffle, no join)") {
     val dir = tmpDir("q29plan")
     spark.read.parquet(s"$sf/documents.parquet").write.parquet(s"$dir/documents.parquet")
