@@ -59,7 +59,8 @@ object SparkEntry {
     "q36_cube" -> (Queries.q36Cube _),
     "q37_funnel" -> (Queries.q37Funnel _),
     "q38_len_histogram" -> (Queries.q38LenHistogram _),
-    "q39_substring_dedup" -> (Queries.q39SubstringDedup _)
+    "q39_substring_dedup" -> (Queries.q39SubstringDedup _),
+    "q40_scrub" -> (Queries.q40Scrub _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -467,6 +468,13 @@ object SparkEntry {
         |SELECT ns.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
         |  round(coalesce(n_dup, 0) / (n_spans * 1.0), 4) AS dup_frac
-        |FROM ns LEFT JOIN dc ON ns.doc_id = dc.doc_id""".stripMargin
+        |FROM ns LEFT JOIN dc ON ns.doc_id = dc.doc_id""".stripMargin,
+    // q40 mirror: [0-9]+ has identical Java-regex/RE2 semantics; DuckDB's
+    // regexp_replace needs the 'g' flag to match Spark's replace-all.
+    "q40_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_masked,
+        |  md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS scrubbed_md5
+        |FROM documents""".stripMargin
   )
 }

@@ -66,6 +66,26 @@ object TextAnalysis {
     round((lenScore + stopScore + meanLenScore + diversity) / 4.0, 4)
   }
 
+  /** Pattern scrubbing — the PII-redaction plumbing of corpus pipelines:
+    * every match of `pattern` is replaced by the mask token, and
+    * `scrubCount` reports how many replacements were made (the per-doc
+    * redaction audit). A deployment swaps in its email/phone/credential
+    * patterns; the default masks digit runs, which the fixtures actually
+    * contain, so the oracle check exercises real replacements. Patterns
+    * must use only constructs with identical Java-regex (Spark codegen)
+    * and RE2 (DuckDB) semantics — character classes and plus/star
+    * repetition qualify, lookaround does not.
+    *
+    * Narrow and codegen'd: scrubbing a 100 TB corpus is a pure map over
+    * the text column — no shuffle, no UDF.
+    */
+  def scrub(text: Column, pattern: String = "[0-9]+",
+      mask: String = "<NUM>"): Column =
+    regexp_replace(text, pattern, mask)
+
+  def scrubCount(text: Column, pattern: String = "[0-9]+"): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Engine-neutral 60-bit token hash: the first 15 md5-hex chars as an
     * integer (< 2^60, so it is an exact signed BIGINT in Spark AND DuckDB —
     * 16 chars would overflow the signed range one engine or the other).

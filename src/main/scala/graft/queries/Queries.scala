@@ -395,6 +395,16 @@ object Queries {
         round(coalesce(col("n_dup_spans"), lit(0L)) / col("n_spans"), 4).as("dup_frac"))
   }
 
+  /** q40: pattern scrubbing (PII-redaction plumbing) — per document, the
+    * number of masked spans and the md5 of the scrubbed text, so the
+    * oracle verifies the REWRITTEN content bit-for-bit, not just counts.
+    */
+  def q40Scrub(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.scrubCount(col("text")).cast("long").as("n_masked"),
+        md5(graft.ops.TextAnalysis.scrub(col("text")).cast("binary")).as("scrubbed_md5"))
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

@@ -446,6 +446,16 @@ class OpsSpec extends SparkSpec {
       "partition-invariant")
   }
 
+  test("scrub: masks every pattern match, counts replacements") {
+    import spark.implicits._
+    val d = Seq((0L, "call 555 then 1234 ok"), (1L, "no digits here")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextAnalysis.scrub(col("text")).as("s"),
+        TextAnalysis.scrubCount(col("text")).as("n"))
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r(0L) == (("call <NUM> then <NUM> ok", 2)))
+    assert(r(1L) == (("no digits here", 0)))
+  }
+
   test("duplicateSpans: cross-doc spans at exact positions; within-doc via minOcc") {
     import spark.implicits._
     val s8 = "s1 s2 s3 s4 s5 s6 s7 s8"
