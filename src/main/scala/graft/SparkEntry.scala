@@ -60,7 +60,8 @@ object SparkEntry {
     "q37_funnel" -> (Queries.q37Funnel _),
     "q38_len_histogram" -> (Queries.q38LenHistogram _),
     "q39_substring_dedup" -> (Queries.q39SubstringDedup _),
-    "q40_scrub" -> (Queries.q40Scrub _)
+    "q40_scrub" -> (Queries.q40Scrub _),
+    "q41_knn_join" -> (Queries.q41KnnJoin _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -475,6 +476,19 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_masked,
         |  md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS scrubbed_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q41 mirror: same sequential-fold double cosine as q14 (bit-identical
+    // scores), ranks by (cosine DESC, vec_id) per probe.
+    "q41_knn_join" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.qid, e.vec_id,
+        |        list_dot_product(e.embedding::DOUBLE[], q.qv)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q.qv, q.qv))) AS c
+        |      FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT qid, vec_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5""".stripMargin
   )
 }

@@ -59,6 +59,39 @@ object Similarity {
       .select(col(idCol), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Batch kNN JOIN: top-k cosine neighbors in `corpus` for EVERY query
+    * row — multi-query ANN (retrieval evaluation, dedup-against-index,
+    * hard-negative mining), where `bruteForceTopK` serves one query.
+    *
+    * The query side is small by contract (an eval/probe set) and
+    * BROADCASTS; the corpus is scanned ONCE, narrow, scoring |Q| queries
+    * per row — a deliberate O(|corpus|·|Q|) compute with NO corpus
+    * shuffle; the only exchange is the per-query top-k window. Self-pairs
+    * (same id) are excluded. For corpus-sized query sets use the IVF
+    * index instead: assign both sides to centroid buckets and equi-join
+    * on cid — same kernels, bucket-bounded candidates.
+    *
+    * Same sequential-fold double arithmetic as everything here, so a
+    * DuckDB list_dot_product oracle reproduces scores bit-for-bit, and
+    * the (cosine desc, id) tiebreak makes ranks engine-reproducible.
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    corpus.where(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
+      .crossJoin(broadcast(
+        queries.where(col(qvecCol).isNotNull && norm(col(qvecCol)) > 0)))
+      .where(col(idCol) =!= col(qidCol))
+      .withColumn("cosine",
+        dot(asDouble(col(vecCol)), asDouble(col(qvecCol))) /
+          (norm(col(vecCol)) * norm(col(qvecCol))))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(qidCol), col(idCol), round(col("cosine"), 4).as("cosine"), col("rk"))
+  }
+
   // ------------------------------- IVF -------------------------------
   //
   // Index: vectors are normalized to the unit sphere (cosine ⇔ L2 there),

@@ -405,6 +405,17 @@ object Queries {
         graft.ops.TextAnalysis.scrubCount(col("text")).cast("long").as("n_masked"),
         md5(graft.ops.TextAnalysis.scrub(col("text")).cast("binary")).as("scrubbed_md5"))
 
+  /** q41: batch kNN join — top-5 cosine neighbors for every probe vector
+    * (vec_id ≡ 0 mod 100) in one corpus scan; the multi-query twin of
+    * q14's single-query top-k.
+    */
+  def q41KnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val probes = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.ops.Similarity.knnJoin(emb, probes, k = 5)
+  }
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

@@ -479,6 +479,24 @@ class OpsSpec extends SparkSpec {
     assert(meta.length == 1 && meta(0).getLong(0) == 2L && meta(0).getLong(1) == 2L)
   }
 
+  test("knnJoin == per-query bruteForceTopK for every probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probeIds = emb.where(col("vec_id") % 100 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(probeIds.length >= 2, "need multiple probes for a meaningful join")
+    val probes = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val joined = Similarity.knnJoin(emb, probes, k = 5)
+    probeIds.foreach { qid =>
+      val qv = emb.where(col("vec_id") === qid)
+        .select("embedding").first().getSeq[Float](0).toArray
+      assertSameRows(
+        joined.where(col("qid") === qid).select(col("vec_id"), col("cosine")),
+        Similarity.bruteForceTopK(emb, qv, k = 5, excludeId = Some(qid)),
+        s"knnJoin probe $qid")
+    }
+  }
+
   test("multimodal: deterministic features, fixed dim, partition-local") {
     val media = Multimodal.mediaFromDocuments(docs)
     val f1 = Multimodal.extractFeatures(media).toDF()
