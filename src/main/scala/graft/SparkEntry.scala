@@ -61,7 +61,8 @@ object SparkEntry {
     "q38_len_histogram" -> (Queries.q38LenHistogram _),
     "q39_substring_dedup" -> (Queries.q39SubstringDedup _),
     "q40_scrub" -> (Queries.q40Scrub _),
-    "q41_knn_join" -> (Queries.q41KnnJoin _)
+    "q41_knn_join" -> (Queries.q41KnnJoin _),
+    "q42_curation" -> (Queries.q42Curation _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -489,6 +490,35 @@ object SparkEntry {
         |      FROM embeddings e, q WHERE e.vec_id <> q.qid),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
         |      FROM s)
-        |SELECT qid, vec_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5""".stripMargin
+        |SELECT qid, vec_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5""".stripMargin,
+    // q42 mirror: the full curation chain — rounded quality >= 0.5, exact
+    // dedup keeps min doc_id per identical text, 8-gram decontamination
+    // against the FULL corpus's doc_id % 20 slice, then the md5 half
+    // sample (floor(0.5 * 2^60) = 2^59).
+    "q42_curation" ->
+      s"""WITH t0 AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+        |q AS (SELECT doc_id, source, text FROM t0 WHERE round($qualityExpr, 4) >= 0.5),
+        |k AS (SELECT doc_id, source, text FROM (
+        |        SELECT *, min(doc_id) OVER (PARTITION BY text) AS rep FROM q)
+        |      WHERE doc_id = rep),
+        |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM k),
+        |g AS (SELECT DISTINCT doc_id,
+        |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |        w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
+        |      FROM tw, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 7),
+        |te AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0),
+        |ge AS (SELECT DISTINCT
+        |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |        w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
+        |      FROM te, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 7),
+        |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN ge USING (gram))
+        |SELECT doc_id, source FROM k
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+        |  AND ('0x' || substr(md5('s0:' || doc_id), 1, 15))::UBIGINT::BIGINT
+        |      < 576460752303423488""".stripMargin
   )
 }

@@ -416,6 +416,26 @@ object Queries {
     graft.ops.Similarity.knnJoin(emb, probes, k = 5)
   }
 
+  /** q42: the end-to-end corpus-curation pipeline a training-data user
+    * actually runs — quality filter → exact dedup (keep the min-id
+    * representative) → benchmark decontamination (8-gram overlap with the
+    * eval slice) → deterministic 50% subsample — composed from the
+    * individual operators (q17/q10/q32/q27 building blocks), so the whole
+    * chain is one lazy plan Catalyst optimizes end to end. Every stage is
+    * engine-neutral arithmetic, so the full composite is oracle-checked,
+    * not just its parts.
+    */
+  def q42Curation(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val quality = docs.where(graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.5)
+    val reps = graft.ops.Dedup.exact(quality).select(col("doc_id"))
+    val deduped = quality.join(reps, Seq("doc_id"), "left_semi")
+    val clean = graft.ops.Dedup.decontaminate(
+      deduped, docs.where(col("doc_id") % 20 === 0), n = 8)
+    graft.ops.Dedup.hashSample(clean, rate = 0.5)
+      .select(col("doc_id"), col("source"))
+  }
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))
