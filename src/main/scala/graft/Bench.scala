@@ -72,7 +72,13 @@ object Bench {
     ChangeStreamReader.spoolSnapshot(spark, tableDir, streamDir, numFiles = 64)
     val n = ChangeStreamReader.batch(spark, streamDir).count()
     val t0 = System.nanoTime()
-    val q = CdcPipeline.start(spark, streamDir, outDir, ckDir, maxFilesPerTrigger = 48)
+    // trigger sized to the deployment's memory budget, not smaller:
+    // per-batch fixed costs (cache materialization for the range sampler,
+    // write-job startup, offset/commit WAL) amortize over batch size —
+    // interleaved 3-rep medians on this table: mft=48 11.3 s vs mft=96
+    // 7.3 s (~1.5×; BENCH/BASELINE.md addendum 10). The tradeoff is
+    // recovery granularity: a crash replays at most one trigger.
+    val q = CdcPipeline.start(spark, streamDir, outDir, ckDir, maxFilesPerTrigger = 96)
     q.awaitTermination()
     if (analytics) runAnalyticsPass(spark, outDir)
     val sec = (System.nanoTime() - t0) / 1e9

@@ -8,7 +8,11 @@ import graft.source.ChangeStreamReader
 
 /** Ad-hoc profiling main: decomposes CDC replay cost into stages over an
   * existing spooled stream dir. Usage:
-  *   runMain graft.ProfileCdc <streamDir>
+  *   runMain graft.ProfileCdc <streamDir> [tableDir] [mft,mft,...]
+  * `tableDir` spools the table into streamDir first; the mft list is run
+  * IN ORDER, so interleave repeats (e.g. 48,96,48,96,48,96) — a monotone
+  * list confounds the comparison with JIT/page-cache warmup (measured:
+  * the first replay of a JVM runs ~1.7× slower than its third).
   */
 object ProfileCdc {
   def time[A](label: String)(f: => A): A = {
@@ -22,6 +26,12 @@ object ProfileCdc {
     val streamDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-profile")
+    // optional second arg: a generated table dir to spool into streamDir
+    // first (same layout Bench.replayOnce uses)
+    args.lift(1).foreach { tableDir =>
+      ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+      ChangeStreamReader.spoolSnapshot(spark, tableDir, streamDir, numFiles = 64)
+    }
     val df = ChangeStreamReader.batch(spark, streamDir)
     val n = time("count(read)")(df.count())
     println(s"[profile] events=$n cpus=$cpus")
@@ -35,10 +45,14 @@ object ProfileCdc {
       val sink = new ExactlyOnceSink(spark, "/tmp/prof-sink-" + System.nanoTime())
       CdcPipeline.processBatch(sink, df, 0L)
     }
-    time("full streaming replay (fresh checkpoint)") {
-      val q = CdcPipeline.start(spark, streamDir, "/tmp/prof-out-" + System.nanoTime(),
-        "/tmp/prof-ck-" + System.nanoTime(), maxFilesPerTrigger = math.max(cpus, 8))
-      q.awaitTermination()
+    val mfts = args.lift(2).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(48, 96, 48, 96, 48, 96))
+    mfts.foreach { mft =>
+      time(s"full streaming replay (fresh checkpoint, mft=$mft)") {
+        val q = CdcPipeline.start(spark, streamDir, "/tmp/prof-out-" + System.nanoTime(),
+          "/tmp/prof-ck-" + System.nanoTime(), maxFilesPerTrigger = mft)
+        q.awaitTermination()
+      }
     }
     spark.stop()
   }

@@ -446,10 +446,21 @@ class ExportConfigSpec extends SparkSpec {
       .flatMap(s => sink.readCommitted(s).map(_.count())).sum
     assert(committed == ChangeStreamReader.batch(spark, s"$dest/stream").count(),
       "relocated resume must neither duplicate nor drop events")
+    // chained: a savepoint OF a savepoint is equally self-contained — its
+    // source stream dir comes from the first savepoint's marker
+    val dest2 = s"${tmpDir("rldest2")}/sp2"
+    pipeline.Savepoint.create(spark, dest, dest2)
+    fs.delete(new org.apache.hadoop.fs.Path(dest), true)
+    assert(pipeline.Savepoint.streamDirOf(fs, dest2) == s"$dest2/stream")
+    CdcPipeline.runAvailable(spark, tableDir, s"$dest2/stream", s"$dest2/out", s"$dest2/checkpoint")
+    assertSameRows(
+      CdcPipeline.materialize(spark, s"$dest2/out").toDF(),
+      TranscriptGen.finalState(spark, cfg).toDF(),
+      "second-generation savepoint resume vs oracle")
     // corrupt marker fails loudly instead of guessing a stream dir
-    val mk = fs.create(new org.apache.hadoop.fs.Path(s"$dest/savepoint.json"), true)
+    val mk = fs.create(new org.apache.hadoop.fs.Path(s"$dest2/savepoint.json"), true)
     mk.write("""{"oops":true}""".getBytes("UTF-8")); mk.close()
-    intercept[IllegalStateException](pipeline.Savepoint.streamDirOf(fs, dest))
+    intercept[IllegalStateException](pipeline.Savepoint.streamDirOf(fs, dest2))
   }
 
   test("savepoint: a copied checkpoint resumes identically (no dupes/loss)") {
