@@ -518,12 +518,23 @@ object Dedup {
     * (≤ corpus rows, usually tiny) shuffles into the final left_anti.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    corpus.join(contaminatedIds(corpus, benchmark, n, idCol, textCol),
+      Seq(idCol), "left_anti")
+
+  /** The contaminated doc-id set alone (the gram probe of `decontaminate`
+    * without the join-back): corpus grams explode scan-side (narrow),
+    * benchmark grams broadcast, only ids shuffle. Compose with id-only
+    * joins when the caller doesn't need the full surviving rows — a
+    * pipeline that joins full corpus rows against a non-broadcastable
+    * filter would shuffle the text column for nothing (q42 uses this).
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bg = grams(benchmark, n, idCol, textCol).select(col("gram")).distinct()
-    val hits = grams(corpus, n, idCol, textCol)
+    grams(corpus, n, idCol, textCol)
       .join(broadcast(bg), Seq("gram"))
       .select(col("id").as(idCol)).distinct()
-    corpus.join(hits, Seq(idCol), "left_anti")
   }
 
   /** SUBSTRING-level dedup: find repeated k-token spans ACROSS the corpus —

@@ -428,11 +428,19 @@ object Queries {
   def q42Curation(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = table(spark, sfDir, "documents")
     val quality = docs.where(graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.5)
+    // id-only join algebra: every text consumer (quality score, content
+    // hash, gram probe) computes SCAN-SIDE and narrow; the joins that
+    // follow move ids alone, so document text never enters an exchange —
+    // at 100 TB neither the dedup-winner set nor the contaminated set is
+    // broadcastable, and joining full rows against them would shuffle the
+    // whole corpus text (PlanSpec pins the no-text-exchange property)
     val reps = graft.ops.Dedup.exact(quality).select(col("doc_id"))
-    val deduped = quality.join(reps, Seq("doc_id"), "left_semi")
-    val clean = graft.ops.Dedup.decontaminate(
-      deduped, docs.where(col("doc_id") % 20 === 0), n = 8)
-    graft.ops.Dedup.hashSample(clean, rate = 0.5)
+    val hits = graft.ops.Dedup.contaminatedIds(
+      quality, docs.where(col("doc_id") % 20 === 0), n = 8)
+    val kept = quality.select(col("doc_id"), col("source"))
+      .join(reps, Seq("doc_id"), "left_semi")
+      .join(hits, Seq("doc_id"), "left_anti")
+    graft.ops.Dedup.hashSample(kept, rate = 0.5)
       .select(col("doc_id"), col("source"))
   }
 

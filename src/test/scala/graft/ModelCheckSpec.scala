@@ -87,6 +87,34 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans == brute-force window model on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3131)
+    for (round <- 0 until 4) {
+      val nDocs = 4 + rnd.nextInt(6)
+      val k = 2 + rnd.nextInt(3) // window 2..4 tokens
+      // tiny vocab → dense window collisions across and within docs
+      val corpus = (0 until nDocs).map { d =>
+        val n = rnd.nextInt(12) // may be < k (no windows)
+        (d.toLong, (0 until n).map(_ => s"t${rnd.nextInt(3)}").mkString(" "))
+      }
+      val (minDocs, minOcc) = if (round % 2 == 0) (2, 2) else (1, 2)
+      val got = Dedup.duplicateSpans(corpus.toDF("doc_id", "text"),
+          k = k, minDocs = minDocs, minOcc = minOcc)
+        .select("id", "pos").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // reference model: every window occurrence, grouped by window text
+      val occ = corpus.flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        if (w.length < k) Seq.empty
+        else w.sliding(k).zipWithIndex.map { case (win, i) => (win.mkString(" "), id, i) }.toSeq
+      }
+      val want = occ.groupBy(_._1).values.filter { os =>
+        os.map(_._2).distinct.size >= minDocs && os.size >= minOcc
+      }.flatten.map(o => (o._2, o._3)).toSet
+      assert(got == want, s"round=$round k=$k minDocs=$minDocs corpus=$corpus")
+    }
+  }
+
   test("stratified sampling: monotone nesting across random rational rates") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rnd = new scala.util.Random(2026)

@@ -132,6 +132,26 @@ class PlanSpec extends SparkSpec {
     assert(!bad, "no shuffle of window/document text:\n" + p.take(800))
   }
 
+  test("q41: probes broadcast; embedding vectors never enter an exchange") {
+    val p = plan(Queries.q41KnnJoin(spark, sf))
+    // the corpus×probes product is the intended broadcast NLJ (probe side
+    // tiny); what must NOT happen is a shuffle of the vectors — the only
+    // exchange is the per-probe top-k over (qid, id, cosine)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("embedding#") || l.contains("qvec#")))
+    assert(!bad, "no shuffle of embedding vectors:\n" + p.take(800))
+  }
+
+  test("q42: curation pipeline joins move ids only — text never in an exchange") {
+    val p = plan(Queries.q42Curation(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!bad, "no shuffle of document text:\n" + p.take(800))
+  }
+
   test("q29: repetition report is a single narrow projection (no shuffle, no join)") {
     val dir = tmpDir("q29plan")
     spark.read.parquet(s"$sf/documents.parquet").write.parquet(s"$dir/documents.parquet")
