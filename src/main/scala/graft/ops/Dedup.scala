@@ -475,6 +475,17 @@ object Dedup {
     * takes whatever floor that implies — the r2-flagged silent gap. At
     * 100 TB the shuffle key is the (band, key) pair and AQE skew-join
     * handles hot buckets.
+    *
+    * Candidate-volume scaling (measured, r4): at the default 12-bit/105-
+    * band point the false-candidate rate is a CONSTANT ≈3% of all pairs
+    * on this corpus family (374k candidates at 5k docs, 36.9M at 50k) —
+    * random cross-doc cosines (~0.3) are close enough to t = 0.8 that 12
+    * sign bits only separate them that far, so candidates are O(n²·0.03).
+    * The default is a small-corpus operating point chosen so the DuckDB
+    * mirror stays tractable; a large corpus must grow bitsPerBand with n
+    * (bands re-size automatically via lshBandsFor), which drives the
+    * exponent toward the sign-LSH asymptotic n^(1+ρ), ρ =
+    * ln p(t)/ln p(c_background) ≈ 0.44 here. Both knobs are parameters.
     */
   def embeddingNearDupPairs(docs: DataFrame, tNum: Long = 4L, tDen: Long = 5L,
       dims: Int = 256, n: Int = 3, bands: Int = 0, bitsPerBand: Int = 12,
