@@ -63,7 +63,10 @@ object Main {
         compactEvery = cfg.compactEveryBatches,
         rollingFileSizeBytes = cfg.rollingFileSizeBytes),
       cfg.restartAttempts, cfg.restartDelayMs,
-      progress = () => outSink.committedBatchIds.size.toLong)
+      // monotone under compaction — the live manifest COUNT shrinks when an
+      // epoch retires batches, which would mask real progress (see
+      // ExactlyOnceSink.highestCommittedBatchId)
+      progress = () => outSink.highestCommittedBatchId)
     if (restarts > 0) println(s"[pipeline] recovered after $restarts restart(s)")
     val n = ChangeStreamReader.batch(spark, streamDir).count()
     println(s"[pipeline] env=${cfg.env} cores=${spark.sparkContext.defaultParallelism} " +

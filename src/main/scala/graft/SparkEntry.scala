@@ -479,15 +479,22 @@ object SparkEntry {
         |  md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS scrubbed_md5
         |FROM documents""".stripMargin,
     // q41 mirror: same sequential-fold double cosine as q14 (bit-identical
-    // scores), ranks by (cosine DESC, vec_id) per probe.
+    // scores), ranks by (cosine DESC, vec_id) per probe. The norm > 0
+    // guards mirror the operator's zero-norm exclusions on BOTH sides —
+    // without them a single zero vector would give this SQL inf/NaN
+    // cosines the operator correctly refuses to rank.
     "q41_knn_join" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |           FROM embeddings
+        |           WHERE vec_id % 100 = 0
+        |             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |s AS (SELECT q.qid, e.vec_id,
         |        list_dot_product(e.embedding::DOUBLE[], q.qv)
         |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
         |             * sqrt(list_dot_product(q.qv, q.qv))) AS c
-        |      FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |      FROM embeddings e, q
+        |      WHERE e.vec_id <> q.qid
+        |        AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
         |      FROM s)
         |SELECT qid, vec_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5""".stripMargin,

@@ -109,6 +109,11 @@ final case class AppConfig(
     else if (!graft.sink.Export.Compressions.contains(exportCompression))
       Left(s"unsupported compression '$exportCompression' " +
         s"(one of ${graft.sink.Export.Compressions.mkString("/")})")
+    else if (rollingIntervalMs > 0 && rollingIntervalMs < 1000)
+      // 0 = time-based rolling disabled; a sub-second interval would drive
+      // a sub-second continuous trigger (WAL/manifest churn, near-zero
+      // compaction grace) and is never what a rolling policy means
+      Left(s"rollingInterval must be >= 1s or 0/unset to disable (got ${rollingIntervalMs}ms)")
     else Right(this)
   }
 }

@@ -88,8 +88,26 @@ object LatencyMonitor {
     * Batches whose AVERAGE latency exceeds this ceiling are recorded in
     * `history` but neither alert nor warn — one info line per pipeline
     * notes the suppression.
+    *
+    * CAVEAT — the heuristic cannot distinguish a backfill from a live
+    * pipeline that is genuinely >6 h behind (the worst real incident).
+    * The `graft.replayMode` system property overrides it explicitly:
+    * "true" always suppresses (set it for known backfills/benchmarks),
+    * "false" NEVER suppresses — an on-call rule built on `alerts` should
+    * run live pipelines with -Dgraft.replayMode=false so a catastrophic
+    * lag still pages.
     */
   val HistoricalCutoffMs: Long = 6L * 3600 * 1000
+
+  /** Effective suppression decision: explicit `graft.replayMode` sysprop
+    * wins over the avg-latency heuristic.
+    */
+  def suppressAsHistorical(avgLatencyMs: Double, historicalCutoffMs: Long): Boolean =
+    sys.props.get("graft.replayMode") match {
+      case Some("true") => true
+      case Some("false") => false
+      case _ => avgLatencyMs > historicalCutoffMs
+    }
 
   private val suppressedPipelines =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -120,7 +138,7 @@ object LatencyMonitor {
     val st = LatencyStats(batchId, maxLatencyMs, avgLatencyMs, lateEvents, events, pipeline)
     history.add(st)
     if (st.lateEvents > 0) {
-      if (st.avgLatencyMs > historicalCutoffMs) {
+      if (suppressAsHistorical(st.avgLatencyMs, historicalCutoffMs)) {
         if (suppressedPipelines.add(pipeline))
           org.apache.log4j.Logger.getLogger(getClass).info(
             f"[latency] pipeline=$pipeline replaying historical data " +

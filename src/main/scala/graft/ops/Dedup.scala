@@ -578,10 +578,16 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
       minOcc: Int = 2, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && minDocs >= 1 && minOcc >= 1, "duplicateSpans: bad params")
+    // cached: the fingerprint projection (full text scan + per-window md5 —
+    // the dominant cost) feeds both the occurrence count and the join-back
+    // probe side; without the cache the corpus is scanned and hashed twice
+    // (same lifecycle contract as the other pairwise operators here — the
+    // session harness releases it with clearCache)
     val spans = docs.select(col(idCol).as("id"),
         posexplode(call_function("word_ngrams_all", col(textCol), lit(k))).as(Seq("pos", "gram")))
       .select(col("id"), col("pos"),
         graft.ops.TextAnalysis.tokenHash60(col("gram")).as("fp"))
+      .cache()
     val dup = spans.groupBy(col("fp"))
       .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .where(col("n_docs") >= minDocs && col("n_occ") >= minOcc)

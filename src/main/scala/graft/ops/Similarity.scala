@@ -74,6 +74,12 @@ object Similarity {
     * Same sequential-fold double arithmetic as everything here, so a
     * DuckDB list_dot_product oracle reproduces scores bit-for-bit, and
     * the (cosine desc, id) tiebreak makes ranks engine-reproducible.
+    *
+    * Zero-norm/null vectors are EXCLUDED on both sides (cosine is
+    * undefined for them): a zero-norm corpus row can match nothing, and a
+    * zero-norm probe yields NO output rows for its qid — callers that
+    * must distinguish "probe invalid" from "no neighbors" should validate
+    * probes up front (same contract as cosineToQuery's require).
     */
   def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",

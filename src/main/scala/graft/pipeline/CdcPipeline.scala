@@ -149,10 +149,14 @@ object CdcPipeline {
     * rolls) every 2 s even when the env checkpoint interval is 60 s.
     */
   def triggerFor(cfg: graft.config.AppConfig): Trigger =
-    if (cfg.mode == "continuous")
-      Trigger.ProcessingTime(
-        math.min(cfg.checkpointIntervalSec * 1000L, math.max(1L, cfg.rollingIntervalMs)))
-    else Trigger.AvailableNow()
+    if (cfg.mode == "continuous") {
+      // rollingInterval <= 0 means "no time-based rolling" — it must NOT
+      // collapse into a 1 ms trigger (WAL/manifest churn per millisecond
+      // and a compaction grace window of ~zero); sub-second intervals are
+      // rejected at config validation
+      val roll = if (cfg.rollingIntervalMs > 0) cfg.rollingIntervalMs else Long.MaxValue
+      Trigger.ProcessingTime(math.min(cfg.checkpointIntervalSec * 1000L, roll))
+    } else Trigger.AvailableNow()
 
   /** Bounded-restart runner (≙ reference fixed-delay restart strategy:
     * 3×10s local / 3×15s dev / 4×20s staging / 5×30s prod —

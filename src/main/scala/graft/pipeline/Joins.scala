@@ -119,11 +119,17 @@ object Joins {
       : Iterator[AsOfJoined] = {
     var s = state.getOption.getOrElse(emptyAsOf)
     // idle-key expiry: the timeout fired with nothing buffered — the key
-    // has seen no arrivals for a full TTL, so the retained right row is
-    // dropped (see asOfJoinStream's retention contract)
+    // has seen no arrivals for a full TTL, so the retained right PAYLOAD
+    // is dropped. What stays is an O(1) frontier tombstone: full
+    // state.remove() would also forget the emitted frontier, and an
+    // at-least-once upstream redelivering an already-emitted event after
+    // the key was forgotten would then re-emit it — while wiping the
+    // frontier for FRESH keys instead would drop genuine first-seen late
+    // events the batch semantics keep (both ends are test-pinned). The
+    // tombstone is not re-armed: nothing left to expire.
     if (state.hasTimedOut && idleTtlMs.isDefined &&
         s.pendingLeft.isEmpty && s.pendingRight.isEmpty) {
-      state.remove()
+      state.update(s.copy(lastRight = None))
       return Iterator.empty
     }
     // data-path expiry: a key whose NEXT arrival lands in the same batch
@@ -209,7 +215,14 @@ object Joins {
     * dropped entirely — a later left event for it gets a null match, the
     * same answer a fresh key gets. That is the standard state-TTL tradeoff
     * (Flink temporal-join state retention): bound memory by forgetting
-    * history older than the TTL.
+    * history older than the TTL. Expiry drops the retained PAYLOAD but
+    * keeps an O(1) frontier tombstone per key — at-least-once redelivery
+    * of an already-emitted event after expiry must still be recognized as
+    * below the emitted frontier (total amnesia would re-emit it), and the
+    * tombstone is what makes that possible without touching fresh-key
+    * semantics. State is thus bounded by tombstone-bytes × distinct keys
+    * rather than payload-bytes × distinct keys; a truly unbounded key
+    * universe needs an upstream key-retirement policy regardless.
     */
   def asOfJoinStream(events: Dataset[AsOfEvent], streaming: Boolean = true,
       strict: Boolean = false, idleTtlMs: Option[Long] = None): Dataset[AsOfJoined] = {

@@ -52,44 +52,72 @@ object Savepoint {
       s"savepoint dest $destDir already exists — a nested copy would silently keep the stale state")
     val srcStream = streamDirOf(fs, workDir)
     val dstStream = s"$destDir/stream"
-    for ((src, dst) <- Seq(
-        s"$workDir/checkpoint" -> s"$destDir/checkpoint",
-        s"$workDir/out" -> s"$destDir/out",
-        srcStream -> dstStream)) {
-      require(fs.exists(new Path(src)), s"no ${new Path(src).getName} under $workDir — run the pipeline first")
-      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(src), fs, new Path(dst), false, conf)
+    try {
+      for ((src, dst) <- Seq(
+          s"$workDir/checkpoint" -> s"$destDir/checkpoint",
+          s"$workDir/out" -> s"$destDir/out",
+          srcStream -> dstStream)) {
+        require(fs.exists(new Path(src)), s"no ${new Path(src).getName} under $workDir — run the pipeline first")
+        org.apache.hadoop.fs.FileUtil.copy(fs, new Path(src), fs, new Path(dst), false, conf)
+      }
+      rebaseSourceLog(fs, s"$destDir/checkpoint", srcStream, dstStream)
+      val mk = fs.create(new Path(s"$destDir/savepoint.json"), true)
+      mk.write(s"""{"streamDir":"$dstStream"}""".getBytes("UTF-8")); mk.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // a partial savepoint without its marker would resume against its
+        // own UNREBASED checkpoint and duplicate everything — never leave it
+        fs.delete(new Path(destDir), true)
+        throw e
     }
-    rebaseSourceLog(fs, s"$destDir/checkpoint", srcStream, dstStream)
-    val mk = fs.create(new Path(s"$destDir/savepoint.json"), true)
-    mk.write(s"""{"streamDir":"$dstStream"}""".getBytes("UTF-8")); mk.close()
   }
 
   /** Rewrite the absolute stream-dir prefix inside every seen-file log
     * entry (`checkpoint/sources/<i>/<batch>` and `.compact` rollups). The
     * entries are one JSON object per line with a `file://`-URI `path`; a
-    * plain prefix substitution on the directory string covers both the
-    * `file://old` and raw `old` renderings because the dir is a substring
-    * of each. Rewriting goes through fs.create so checksum sidecars are
-    * regenerated. (Assumes URI-safe dir names — true for any sane
-    * deployment path; percent-encoded dirs would need URI-aware rewrite.)
+    * plain prefix substitution on the NORMALIZED directory path covers
+    * both the `file://old` and raw `old` renderings because the dir is a
+    * substring of each. Rewriting goes through fs.create so checksum
+    * sidecars are regenerated. (Assumes URI-safe dir names — true for any
+    * sane deployment path; percent-encoded dirs would need URI-aware
+    * rewrite.)
+    *
+    * FAIL-LOUD VERIFICATION: a silent no-op here (path rendering mismatch,
+    * symlinked dirs) would produce a savepoint whose resume re-ingests and
+    * duplicates every event — so if the log carries seen-file entries but
+    * NONE matched the old prefix, creation aborts instead of shipping a
+    * poisoned artifact. Both inputs are normalized through Hadoop Path
+    * (trailing/double slashes collapse) before matching.
     */
   def rebaseSourceLog(fs: FileSystem, checkpointDir: String,
       oldStreamDir: String, newStreamDir: String): Unit = {
     val sources = new Path(s"$checkpointDir/sources")
     if (!fs.exists(sources)) return
+    val oldNorm = fs.makeQualified(new Path(oldStreamDir)).toUri.getPath
+    val newNorm = fs.makeQualified(new Path(newStreamDir)).toUri.getPath
+    var entries = 0L
+    var rewritten = 0L
     val it = fs.listFiles(sources, true)
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
       if (st.isFile && !name.startsWith(".")) {
         val body = readText(fs, st.getPath)
-        val rebased = body.replace(oldStreamDir, newStreamDir)
+        entries += body.linesIterator.count(_.contains("\"path\""))
+        val rebased = body.replace(oldNorm, newNorm)
         if (rebased != body) {
+          rewritten += 1
           val out = fs.create(st.getPath, true)
           out.write(rebased.getBytes("UTF-8")); out.close()
         }
       }
     }
+    if (entries > 0 && rewritten == 0)
+      throw new IllegalStateException(
+        s"savepoint rebase matched NOTHING: $entries seen-file entries under " +
+          s"$sources but none reference '$oldNorm' — refusing to create a " +
+          "savepoint whose resume would re-ingest (and duplicate) every event. " +
+          "Is the workDir path spelled the way the pipeline was started with?")
   }
 
   private def readText(fs: FileSystem, p: Path): String = {

@@ -52,13 +52,19 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
     * `rollingFileSize` bytes; Spark's writer caps RECORDS per file, so the
     * byte target is converted with this measured rate). Includes per-file
     * overhead (footer/dictionary), which biases the derived cap DOWN —
-    * i.e. files land under the byte target, never past it. Before the
-    * first measurement a conservative `BootstrapRowBytes` overestimate
-    * applies (same under-the-target bias).
+    * i.e. files land under the byte target, never past it. On a RESUMED
+    * pipeline the rate is recovered from the latest committed batch
+    * (file listing + its manifest's row counts — no data read), so only
+    * the very first batch of a brand-new sink runs on the
+    * `BootstrapRowBytes` estimate; that estimate deliberately
+    * OVERestimates typical rows (4 KiB) because the failure directions
+    * are asymmetric — too-high ⇒ smaller-than-target files (harmless),
+    * too-low ⇒ the first batch overshoots the byte target by
+    * actual/estimate ×.
     */
   @volatile private var observedRowBytes: Double = 0.0
 
-  private val BootstrapRowBytes = 1024.0
+  private val BootstrapRowBytes = 4096.0
 
   /** The per-file record cap for the next write: the explicit record cap,
     * the byte-derived cap, or the tighter of the two.
@@ -67,12 +73,36 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
     val sizeCap =
       if (rollingFileSizeBytes <= 0) 0L
       else {
+        if (observedRowBytes == 0.0) recoverRowBytes()
         val est = if (observedRowBytes > 0) observedRowBytes else BootstrapRowBytes
         math.max(1L, (rollingFileSizeBytes / est).toLong)
       }
     if (maxRecordsPerFile > 0 && sizeCap > 0) math.min(maxRecordsPerFile, sizeCap)
     else math.max(maxRecordsPerFile, sizeCap)
   }
+
+  /** Resume path: re-measure bytes/row from the most recent committed
+    * batch (rows come from its manifest lines, bytes from a file listing),
+    * so a restarted pipeline does not fall back to the bootstrap estimate
+    * it already outgrew.
+    */
+  private def recoverRowBytes(): Unit =
+    committedBatchIds.lastOption.foreach { last =>
+      val m = manifestPath(last)
+      if (fs.exists(m)) {
+        val body = {
+          val in = fs.open(m)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+            new String(buf.toByteArray, "UTF-8")
+          } finally in.close()
+        }
+        val rows = """"rowCount"\s*:\s*(\d+)""".r
+          .findAllMatchIn(body).map(_.group(1).toLong).sum
+        observeWritten(batchDir(last), rows)
+      }
+    }
 
   /** Re-measure bytes/row from a just-written batch dir (listing only —
     * no data read; rows come from the commit lineage, already computed).
@@ -107,6 +137,15 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
 
   def isCommitted(batchId: Long): Boolean =
     fs.exists(manifestPath(batchId)) || epochFloor.exists(batchId <= _)
+
+  /** Monotone progress marker: the highest batch id ever committed, −1 if
+    * none. `committedBatchIds.size` is NOT monotone — compaction retires
+    * per-batch manifests behind the epoch floor and shrinks the count, so
+    * a restart-budget check keyed on the size would fail to recognize
+    * real progress after a compaction (the floor preserves it here).
+    */
+  def highestCommittedBatchId: Long =
+    (committedBatchIds ++ epochFloor.toSeq).foldLeft(-1L)(math.max)
 
   def committedBatchIds: Seq[Long] = {
     val dir = new Path(s"$outDir/_manifest")

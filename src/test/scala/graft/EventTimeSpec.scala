@@ -319,8 +319,13 @@ class EventTimeSpec extends SparkSpec {
       "b4" -> Seq(ev("zz", 172800, 901L, false)),
       "b5" -> Seq(ev("a", 259200, 101L, true)),
       "b6" -> Seq(ev("zz", 345600, 902L, false)),
-      "b7" -> Seq(ev("zz", 432000, 903L, false)))
-    def run(ttl: Option[Long], tag: String): Map[Long, Long] = {
+      "b7" -> Seq(ev("zz", 432000, 903L, false)),
+      // at-least-once upstream redelivers the ALREADY-EMITTED first left
+      // long after key "a" was forgotten (TTL path) — the fresh-key
+      // frontier starts at the watermark, so this must NOT re-emit
+      "b8" -> Seq(ev("a", 20, 100L, true)),
+      "b9" -> Seq(ev("zz", 518400, 904L, false)))
+    def run(ttl: Option[Long], tag: String): Seq[(Long, Long)] = {
       val dir = tmpDir(s"asofttl$tag")
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       files.foreach { case (name, es) =>
@@ -339,14 +344,16 @@ class EventTimeSpec extends SparkSpec {
         .where(col("k") === "a")
         .collect().map(r => r.getAs[Long]("tie") ->
           (if (r.isNullAt(r.fieldIndex("matched_tie"))) -1L else r.getAs[Long]("matched_tie")))
-        .toMap
+        .toSeq.sorted
     }
     // 1h TTL: the first left still matches (state alive), the late left
-    // finds the key expired → null match
-    assert(run(Some(3600L * 1000), "on") == Map(100L -> 200L, 101L -> -1L),
-      "TTL must expire the idle key's retained right row")
-    // no TTL: documented retain-forever behavior — the late left matches
-    assert(run(None, "off") == Map(100L -> 200L, 101L -> 200L),
+    // finds the key expired → null match; the post-expiry redelivery of
+    // tie=100 emits NOTHING (exactly one row per tie — no duplicates)
+    assert(run(Some(3600L * 1000), "on") == Seq(100L -> 200L, 101L -> -1L),
+      "TTL must expire the retained right row and redelivery after expiry must not re-emit")
+    // no TTL: documented retain-forever behavior — the late left matches,
+    // and the redelivery is dropped by the live frontier
+    assert(run(None, "off") == Seq(100L -> 200L, 101L -> 200L),
       "without TTL the retained right row must survive idle periods")
   }
 

@@ -281,6 +281,23 @@ class ExportConfigSpec extends SparkSpec {
     // ...and the default 5min rollingInterval does not stretch a 60s cadence
     val d = AppConfig.load(Seq("env=prod", "mode=continuous")).toOption.get
     assert(CdcPipeline.triggerFor(d) == Trigger.ProcessingTime(60000L))
+    // 0 = time-based rolling DISABLED — must not collapse into a 1 ms
+    // trigger (WAL churn, near-zero compaction grace)
+    val e = AppConfig.load(Seq("env=prod", "mode=continuous", "rollingInterval=0sec")).toOption.get
+    assert(CdcPipeline.triggerFor(e) == Trigger.ProcessingTime(60000L))
+    // sub-second intervals are config errors, not micro-triggers
+    assert(AppConfig.load(Seq("rollingInterval=250ms")).isLeft)
+  }
+
+  test("savepoint: a rebase that matches nothing fails loudly (re-ingest hazard)") {
+    // a rendering mismatch between the supposed old stream dir and the
+    // checkpoint's recorded URIs must abort savepoint creation, not ship a
+    // copy that silently re-ingests everything on resume
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    intercept[IllegalStateException] {
+      pipeline.Savepoint.rebaseSourceLog(fs, s"$workDir/ck",
+        "/definitely/not/the/stream/dir", "/tmp/elsewhere/stream")
+    }
   }
 
   test("config: parallelism drives the session core count (forked pipeline run)") {

@@ -67,6 +67,20 @@ class MetricsSpec extends SparkSpec {
     graft.metrics.LatencyMonitor.check(2L, batch(now - 30000), nowMs = now)
     assert(graft.metrics.LatencyMonitor.alerts.size() == 1,
       "live lag below the ceiling must still alert")
+    // explicit override beats the heuristic both ways: a live pipeline 7h
+    // behind (the worst real incident) must still page when the operator
+    // declares it NOT a replay…
+    try {
+      sys.props("graft.replayMode") = "false"
+      graft.metrics.LatencyMonitor.check(3L, batch(now - 7L * 3600 * 1000), nowMs = now)
+      assert(graft.metrics.LatencyMonitor.alerts.size() == 2,
+        "replayMode=false must alert even past the heuristic ceiling")
+      // …and a declared replay stays silent even when latencies look live
+      sys.props("graft.replayMode") = "true"
+      graft.metrics.LatencyMonitor.check(4L, batch(now - 30000), nowMs = now)
+      assert(graft.metrics.LatencyMonitor.alerts.size() == 2,
+        "replayMode=true must suppress regardless of latency")
+    } finally { sys.props.remove("graft.replayMode"); () }
   }
 
   test("debug taps are pass-through observers with exact accumulator counts") {
