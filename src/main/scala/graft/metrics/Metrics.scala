@@ -100,13 +100,17 @@ object LatencyMonitor {
   val HistoricalCutoffMs: Long = 6L * 3600 * 1000
 
   /** Effective suppression decision: explicit `graft.replayMode` sysprop
-    * wins over the avg-latency heuristic.
+    * wins over the avg-latency heuristic. Parsed case-insensitively and
+    * LOUD on garbage — an operator who typo'd the pager-safety flag must
+    * find out immediately, not during the incident it was meant to catch.
     */
   def suppressAsHistorical(avgLatencyMs: Double, historicalCutoffMs: Long): Boolean =
-    sys.props.get("graft.replayMode") match {
+    sys.props.get("graft.replayMode").map(_.trim.toLowerCase) match {
       case Some("true") => true
       case Some("false") => false
-      case _ => avgLatencyMs > historicalCutoffMs
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.replayMode must be true or false, got '$other'")
+      case None => avgLatencyMs > historicalCutoffMs
     }
 
   private val suppressedPipelines =

@@ -118,18 +118,19 @@ object Joins {
       idleTtlMs: Option[Long])
       : Iterator[AsOfJoined] = {
     var s = state.getOption.getOrElse(emptyAsOf)
-    // idle-key expiry: the timeout fired with nothing buffered — the key
-    // has seen no arrivals for a full TTL, so the retained right PAYLOAD
-    // is dropped. What stays is an O(1) frontier tombstone: full
-    // state.remove() would also forget the emitted frontier, and an
-    // at-least-once upstream redelivering an already-emitted event after
-    // the key was forgotten would then re-emit it — while wiping the
-    // frontier for FRESH keys instead would drop genuine first-seen late
-    // events the batch semantics keep (both ends are test-pinned). The
-    // tombstone is not re-armed: nothing left to expire.
+    // idle-key expiry: the timeout fired with nothing buffered — remove the
+    // state entirely, so idle keys cost ZERO. Full removal cannot re-emit
+    // on an at-least-once redelivery, because the ENGINE already drops it:
+    // FlatMapGroupsWithStateExec filters input rows older than the
+    // PREVIOUS batch's watermark (verified against this operator — the
+    // redelivery probe in the TTL test never reaches asOfProcess), and an
+    // already-emitted event has ts ≤ the watermark that sealed its
+    // emission ≤ every later watermark. The equality edge (wm parked
+    // exactly at ts) cannot coexist with expiry: removal required wm to
+    // advance ≥ ttl past the emission watermark first.
     if (state.hasTimedOut && idleTtlMs.isDefined &&
         s.pendingLeft.isEmpty && s.pendingRight.isEmpty) {
-      state.update(s.copy(lastRight = None))
+      state.remove()
       return Iterator.empty
     }
     // data-path expiry: a key whose NEXT arrival lands in the same batch
@@ -215,14 +216,13 @@ object Joins {
     * dropped entirely — a later left event for it gets a null match, the
     * same answer a fresh key gets. That is the standard state-TTL tradeoff
     * (Flink temporal-join state retention): bound memory by forgetting
-    * history older than the TTL. Expiry drops the retained PAYLOAD but
-    * keeps an O(1) frontier tombstone per key — at-least-once redelivery
-    * of an already-emitted event after expiry must still be recognized as
-    * below the emitted frontier (total amnesia would re-emit it), and the
-    * tombstone is what makes that possible without touching fresh-key
-    * semantics. State is thus bounded by tombstone-bytes × distinct keys
-    * rather than payload-bytes × distinct keys; a truly unbounded key
-    * universe needs an upstream key-retirement policy regardless.
+    * history older than the TTL; expired keys cost ZERO state. Expiry
+    * cannot break at-least-once redelivery safety: the engine filters
+    * input older than the previous batch's watermark before it reaches
+    * this operator, and every already-emitted event is at-or-below the
+    * watermark that sealed it — a post-expiry replay is dropped upstream
+    * of the (forgotten) state, never re-emitted (test-pinned by the
+    * redelivery probe in the TTL suite).
     */
   def asOfJoinStream(events: Dataset[AsOfEvent], streaming: Boolean = true,
       strict: Boolean = false, idleTtlMs: Option[Long] = None): Dataset[AsOfJoined] = {

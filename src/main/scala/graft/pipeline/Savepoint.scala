@@ -66,8 +66,16 @@ object Savepoint {
     } catch {
       case scala.util.control.NonFatal(e) =>
         // a partial savepoint without its marker would resume against its
-        // own UNREBASED checkpoint and duplicate everything — never leave it
-        fs.delete(new Path(destDir), true)
+        // own UNREBASED checkpoint and duplicate everything — never leave
+        // it; and never let the cleanup mask the root cause either
+        try {
+          if (!fs.delete(new Path(destDir), true) && fs.exists(new Path(destDir)))
+            org.apache.log4j.Logger.getLogger(getClass).error(
+              s"savepoint cleanup could NOT remove partial artifact $destDir — " +
+                "delete it manually before any resume (re-ingest hazard)")
+        } catch {
+          case scala.util.control.NonFatal(e2) => e.addSuppressed(e2)
+        }
         throw e
     }
   }
@@ -120,12 +128,6 @@ object Savepoint {
           "Is the workDir path spelled the way the pipeline was started with?")
   }
 
-  private def readText(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-      new String(buf.toByteArray, "UTF-8")
-    } finally in.close()
-  }
+  private def readText(fs: FileSystem, p: Path): String =
+    graft.util.FsText.readText(fs, p)
 }

@@ -82,27 +82,25 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
   }
 
   /** Resume path: re-measure bytes/row from the most recent committed
-    * batch (rows come from its manifest lines, bytes from a file listing),
-    * so a restarted pipeline does not fall back to the bootstrap estimate
-    * it already outgrew.
+    * batch — or, when compaction has retired every per-batch manifest,
+    * from the epoch snapshot itself (rows come from the manifest lines,
+    * bytes from a file listing) — so a restarted pipeline does not fall
+    * back to the bootstrap estimate it already outgrew.
     */
-  private def recoverRowBytes(): Unit =
-    committedBatchIds.lastOption.foreach { last =>
-      val m = manifestPath(last)
-      if (fs.exists(m)) {
-        val body = {
-          val in = fs.open(m)
-          try {
-            val buf = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-            new String(buf.toByteArray, "UTF-8")
-          } finally in.close()
-        }
+  private def recoverRowBytes(): Unit = {
+    def measure(dir: String, manifest: Path): Unit =
+      if (fs.exists(manifest)) {
         val rows = """"rowCount"\s*:\s*(\d+)""".r
-          .findAllMatchIn(body).map(_.group(1).toLong).sum
-        observeWritten(batchDir(last), rows)
+          .findAllMatchIn(graft.util.FsText.readText(fs, manifest))
+          .map(_.group(1).toLong).sum
+        observeWritten(dir, rows)
       }
+    committedBatchIds.lastOption match {
+      case Some(last) => measure(batchDir(last), manifestPath(last))
+      case None => epochFloor.foreach(c =>
+        measure(compactDir(c), new Path(f"$outDir/_manifest/epoch-$c%09d.json")))
     }
+  }
 
   /** Re-measure bytes/row from a just-written batch dir (listing only —
     * no data read; rows come from the commit lineage, already computed).

@@ -66,6 +66,9 @@ object Export {
       case p(v, "min") => v.toLong * 60000L
       case p(v, "sec") => v.toLong * 1000L
       case p(v, "ms") => v.toLong
+      // bare "0" = disabled — falling through to the 5-minute default here
+      // would silently RE-ENABLE the policy the user just turned off
+      case "0" => 0L
       case _ => 5L * 60000L
     }
   }
@@ -79,6 +82,8 @@ object Export {
       case p(v, "MB") => v.toLong << 20
       case p(v, "GB") => v.toLong << 30
       case p(v, "KB") => v.toLong << 10
+      // bare "0" = disabled (same rationale as parseTimeToMillis)
+      case "0" => 0L
       case _ => 128L << 20
     }
   }

@@ -1,0 +1,17 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Shared Hadoop-FS text I/O (one place for the open/copyBytes/close idiom —
+  * Savepoint's log rebase and the sink's manifest recovery both need it).
+  */
+object FsText {
+  def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+}

@@ -310,20 +310,22 @@ class EventTimeSpec extends SparkSpec {
     def ts(sec: Long) = new Timestamp(t0 + sec * 1000)
     def ev(k: String, sec: Long, tie: Long, isLeft: Boolean) =
       graft.pipeline.Joins.AsOfEvent(k, ts(sec), tie, isLeft, "{}")
-    // key "a": right at 10s, left at 20s (matches), then silence while the
-    // watermark advances a day at a time, then a late left at 259200s
+    // key "a": right at 10s, left at 20s (matches at b4 once the watermark
+    // passes). Then the key idles while zz sentinels advance event time a
+    // day per batch — with a 1h TTL the idle timeout fires at b5 and the
+    // state is REMOVED. A redelivery of the already-emitted left (b6)
+    // probes redelivery safety after expiry (the engine's late filter
+    // drops it — it is below the previous batch's watermark); a NEW left
+    // at a live timestamp (b7) probes what expiry forgot.
     val files = Seq(
       "b1" -> Seq(ev("a", 10, 200L, false)),
       "b2" -> Seq(ev("a", 20, 100L, true)),
       "b3" -> Seq(ev("zz", 86400, 900L, false)),
       "b4" -> Seq(ev("zz", 172800, 901L, false)),
-      "b5" -> Seq(ev("a", 259200, 101L, true)),
-      "b6" -> Seq(ev("zz", 345600, 902L, false)),
-      "b7" -> Seq(ev("zz", 432000, 903L, false)),
-      // at-least-once upstream redelivers the ALREADY-EMITTED first left
-      // long after key "a" was forgotten (TTL path) — the fresh-key
-      // frontier starts at the watermark, so this must NOT re-emit
-      "b8" -> Seq(ev("a", 20, 100L, true)),
+      "b5" -> Seq(ev("zz", 259200, 902L, false)),
+      "b6" -> Seq(ev("a", 20, 100L, true)),
+      "b7" -> Seq(ev("a", 300000, 101L, true)),
+      "b8" -> Seq(ev("zz", 432000, 903L, false)),
       "b9" -> Seq(ev("zz", 518400, 904L, false)))
     def run(ttl: Option[Long], tag: String): Seq[(Long, Long)] = {
       val dir = tmpDir(s"asofttl$tag")
@@ -346,13 +348,13 @@ class EventTimeSpec extends SparkSpec {
           (if (r.isNullAt(r.fieldIndex("matched_tie"))) -1L else r.getAs[Long]("matched_tie")))
         .toSeq.sorted
     }
-    // 1h TTL: the first left still matches (state alive), the late left
-    // finds the key expired → null match; the post-expiry redelivery of
-    // tie=100 emits NOTHING (exactly one row per tie — no duplicates)
+    // 1h TTL: tie 100 emits exactly once (the post-expiry redelivery at b6
+    // must NOT duplicate it), and the new left after expiry gets a NULL
+    // match — the retained right row was forgotten
     assert(run(Some(3600L * 1000), "on") == Seq(100L -> 200L, 101L -> -1L),
-      "TTL must expire the retained right row and redelivery after expiry must not re-emit")
-    // no TTL: documented retain-forever behavior — the late left matches,
-    // and the redelivery is dropped by the live frontier
+      "TTL must expire the retained right row; post-expiry redelivery must not re-emit")
+    // no TTL: retain-forever behavior — the redelivery is still dropped
+    // and the new left finds the old right
     assert(run(None, "off") == Seq(100L -> 200L, 101L -> 200L),
       "without TTL the retained right row must survive idle periods")
   }

@@ -182,6 +182,9 @@ class ExportConfigSpec extends SparkSpec {
     assert(Export.parseSizeBytes("2GB") == (2L << 30))
     assert(Export.parseSizeBytes("64 KB") == (64L << 10))
     assert(Export.parseSizeBytes("lots") == (128L << 20)) // reference default
+    // bare "0" disables a policy — defaulting it to 5min/128MB would
+    // silently re-enable what the user turned off
+    assert(Export.parseTimeToMillis("0") == 0L && Export.parseSizeBytes("0") == 0L)
     val c = AppConfig.load(Seq("rollingFileSize=256MB", "rollingInterval=2min")).toOption.get
     assert(c.rollingFileSizeBytes == (256L << 20) && c.rollingIntervalMs == 120000L)
   }
@@ -285,6 +288,9 @@ class ExportConfigSpec extends SparkSpec {
     // trigger (WAL churn, near-zero compaction grace)
     val e = AppConfig.load(Seq("env=prod", "mode=continuous", "rollingInterval=0sec")).toOption.get
     assert(CdcPipeline.triggerFor(e) == Trigger.ProcessingTime(60000L))
+    // the bare "0" spelling the validation error suggests works too
+    val e0 = AppConfig.load(Seq("env=prod", "mode=continuous", "rollingInterval=0")).toOption.get
+    assert(CdcPipeline.triggerFor(e0) == Trigger.ProcessingTime(60000L))
     // sub-second intervals are config errors, not micro-triggers
     assert(AppConfig.load(Seq("rollingInterval=250ms")).isLeft)
   }

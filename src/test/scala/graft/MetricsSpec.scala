@@ -80,6 +80,10 @@ class MetricsSpec extends SparkSpec {
       graft.metrics.LatencyMonitor.check(4L, batch(now - 30000), nowMs = now)
       assert(graft.metrics.LatencyMonitor.alerts.size() == 2,
         "replayMode=true must suppress regardless of latency")
+      // a typo'd pager-safety flag fails loudly, never silently heuristic
+      sys.props("graft.replayMode") = "nope"
+      intercept[IllegalArgumentException](
+        graft.metrics.LatencyMonitor.record(5L, 30000, 30000.0, 1, 1))
     } finally { sys.props.remove("graft.replayMode"); () }
   }
 
