@@ -25,6 +25,7 @@ object ProfileCdc {
   def main(args: Array[String]): Unit = {
     val streamDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    sys.props.getOrElseUpdate("graft.replayMode", "true") // declared replay
     val spark = GraftSession.local(cpus, "graft-profile")
     // optional second arg: a generated table dir to spool into streamDir
     // first (same layout Bench.replayOnce uses)

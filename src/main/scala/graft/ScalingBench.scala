@@ -32,6 +32,7 @@ object ScalingBench {
     */
   def runLevel(mode: String, level: Int, numConvs: Int, avgTurns: Int,
       zipf: Double): (Double, Long) = {
+    sys.props.getOrElseUpdate("graft.replayMode", "true") // declared replay
     val spark = mode match {
       case "executors" => GraftSession.cluster(level, 2, 4096, s"graft-scaling-x$level")
       case _ => GraftSession.local(level, s"graft-scaling-$level")

@@ -109,11 +109,21 @@ final case class AppConfig(
     else if (!graft.sink.Export.Compressions.contains(exportCompression))
       Left(s"unsupported compression '$exportCompression' " +
         s"(one of ${graft.sink.Export.Compressions.mkString("/")})")
+    else if (sys.props.get("graft.replayMode").exists(v =>
+        scala.util.Try(graft.metrics.LatencyMonitor.parseReplayMode(v)).isFailure))
+      // the pager-safety flag is a sysprop, not a config key, but a typo in
+      // it must still fail HERE at startup — inside the data plane it can
+      // only degrade monitoring, never crash the query
+      Left(s"graft.replayMode must be true or false, got '${sys.props("graft.replayMode")}'")
     else if (rollingIntervalMs > 0 && rollingIntervalMs < 1000)
       // 0 = time-based rolling disabled; a sub-second interval would drive
       // a sub-second continuous trigger (WAL/manifest churn, near-zero
       // compaction grace) and is never what a rolling policy means
       Left(s"rollingInterval must be >= 1s or 0/unset to disable (got ${rollingIntervalMs}ms)")
+    else if (rollingFileSizeBytes > 0 && rollingFileSizeBytes < 64 * 1024)
+      // a byte target below the parquet footer+dictionary floor cannot be
+      // met by ANY record cap — files would degenerate toward 1 row each
+      Left(s"rollingFileSize must be >= 64KB or 0/unset to disable (got ${rollingFileSizeBytes}B)")
     else Right(this)
   }
 }

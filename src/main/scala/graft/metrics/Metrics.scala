@@ -64,6 +64,33 @@ object Metrics {
   }
 }
 
+/** Wall-clock decomposition of the sink path, accumulated per batch by
+  * `CdcPipeline.processBatch` (one nanoTime pair per stage — nothing on the
+  * row-level hot path). The bench resets it per rep and ships the totals in
+  * the artifact, so a slow rep is diagnosable from the JSON alone: Spark's
+  * own `durationMs` says WHERE the trigger time went (source read vs
+  * addBatch), this says where addBatch went (write vs lineage agg vs
+  * manifest commit). (VERDICT r4 #1c.)
+  */
+object StageTimers {
+  import java.util.concurrent.atomic.AtomicLong
+  val writeNs = new AtomicLong()
+  val lineageNs = new AtomicLong()
+  val commitNs = new AtomicLong()
+  val batches = new AtomicLong()
+
+  def reset(): Unit = {
+    writeNs.set(0); lineageNs.set(0); commitNs.set(0); batches.set(0)
+  }
+
+  /** Stage totals in seconds + batch count since the last reset. */
+  def snapshot(): Map[String, Double] = Map(
+    "sink_write" -> writeNs.get / 1e9,
+    "lineage_agg" -> lineageNs.get / 1e9,
+    "sink_commit" -> commitNs.get / 1e9,
+    "batches" -> batches.get.toDouble)
+}
+
 /** Per-event source-latency monitor (≙ reference
   * monitoring/CDCMonitor.scala:28-30: warn when now − source.ts_ms exceeds
   * 10 s). The reference logs per event from inside the data plane; here the
@@ -85,35 +112,47 @@ object LatencyMonitor {
     * benchmark, savepoint re-run) makes every event vacuously "late" by
     * months, and a warn per micro-batch drowns the very signal the alert is
     * for (BENCH_r03 carried thousands of meaningless 86-billion-ms warns).
-    * Batches whose AVERAGE latency exceeds this ceiling are recorded in
-    * `history` but neither alert nor warn — one info line per pipeline
-    * notes the suppression.
     *
-    * CAVEAT — the heuristic cannot distinguish a backfill from a live
-    * pipeline that is genuinely >6 h behind (the worst real incident).
-    * The `graft.replayMode` system property overrides it explicitly:
-    * "true" always suppresses (set it for known backfills/benchmarks),
-    * "false" NEVER suppresses — an on-call rule built on `alerts` should
-    * run live pipelines with -Dgraft.replayMode=false so a catastrophic
-    * lag still pages.
+    * The heuristic cannot distinguish a backfill from a live pipeline that
+    * is genuinely >6 h behind (the worst real incident) — so on its own it
+    * only RATE-LIMITS the log (one warn per pipeline); the alert is still
+    * recorded, and pager safety never depends on an operator remembering a
+    * flag. Full suppression requires the explicit `graft.replayMode=true`
+    * declaration (benchmarks/backfills set it; the bench mains do);
+    * `graft.replayMode=false` forces the full per-batch warn path even
+    * past the ceiling.
     */
   val HistoricalCutoffMs: Long = 6L * 3600 * 1000
 
-  /** Effective suppression decision: explicit `graft.replayMode` sysprop
-    * wins over the avg-latency heuristic. Parsed case-insensitively and
-    * LOUD on garbage — an operator who typo'd the pager-safety flag must
-    * find out immediately, not during the incident it was meant to catch.
+  /** Strict parse of a `graft.replayMode` value — config validation calls
+    * this at startup so a typo'd pager-safety flag fails BEFORE the job
+    * runs, not during the incident it was meant to catch.
     */
-  def suppressAsHistorical(avgLatencyMs: Double, historicalCutoffMs: Long): Boolean =
-    sys.props.get("graft.replayMode").map(_.trim.toLowerCase) match {
-      case Some("true") => true
-      case Some("false") => false
-      case Some(other) => throw new IllegalArgumentException(
-        s"graft.replayMode must be true or false, got '$other'")
-      case None => avgLatencyMs > historicalCutoffMs
+  def parseReplayMode(v: String): Boolean = v.trim.toLowerCase match {
+    case "true" => true
+    case "false" => false
+    case other => throw new IllegalArgumentException(
+      s"graft.replayMode must be true or false, got '$other'")
+  }
+
+  /** The explicit replay declaration, if any. A malformed value inside the
+    * data plane (set AFTER config validation) must not crash the streaming
+    * query from inside foreachBatch — degrade to "undeclared", loudly once.
+    */
+  private def explicitReplayMode(): Option[Boolean] =
+    sys.props.get("graft.replayMode").flatMap { v =>
+      try Some(parseReplayMode(v))
+      catch {
+        case e: IllegalArgumentException =>
+          if (oncePerPipeline.add(s"malformed-replayMode:$v"))
+            org.apache.log4j.Logger.getLogger(getClass).error(
+              s"${e.getMessage} — ignoring the flag and falling back to the " +
+                "latency heuristic (validate config at startup to catch this)")
+          None
+      }
     }
 
-  private val suppressedPipelines =
+  private val oncePerPipeline =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   // JVM-shared queues; every entry is keyed by `pipeline` so concurrent
@@ -122,13 +161,13 @@ object LatencyMonitor {
   val history = new ConcurrentLinkedQueue[LatencyStats]()
   val alerts = new ConcurrentLinkedQueue[LatencyStats]()
 
-  def clear(): Unit = { history.clear(); alerts.clear(); suppressedPipelines.clear() }
+  def clear(): Unit = { history.clear(); alerts.clear(); oncePerPipeline.clear() }
 
   /** Remove one pipeline's entries without erasing a concurrent one's. */
   def clear(pipeline: String): Unit = {
     history.removeIf(_.pipeline == pipeline)
     alerts.removeIf(_.pipeline == pipeline)
-    suppressedPipelines.remove(pipeline)
+    oncePerPipeline.removeIf(_.endsWith(s":$pipeline"))
     ()
   }
 
@@ -142,17 +181,34 @@ object LatencyMonitor {
     val st = LatencyStats(batchId, maxLatencyMs, avgLatencyMs, lateEvents, events, pipeline)
     history.add(st)
     if (st.lateEvents > 0) {
-      if (suppressAsHistorical(st.avgLatencyMs, historicalCutoffMs)) {
-        if (suppressedPipelines.add(pipeline))
-          org.apache.log4j.Logger.getLogger(getClass).info(
-            f"[latency] pipeline=$pipeline replaying historical data " +
-              f"(avg=${st.avgLatencyMs}%.0fms > ${historicalCutoffMs}ms ceiling) — " +
-              "live-latency alerts suppressed for this pipeline")
-      } else {
+      val log = org.apache.log4j.Logger.getLogger(getClass)
+      def alertLoud(): Unit = {
         alerts.add(st)
-        org.apache.log4j.Logger.getLogger(getClass).warn(
+        log.warn(
           f"[latency] batch=$batchId ${st.lateEvents} of ${st.events} events over ${alertMs}ms " +
             f"(max=${st.maxLatencyMs}ms avg=${st.avgLatencyMs}%.0fms)")
+      }
+      explicitReplayMode() match {
+        case Some(true) =>
+          // declared backfill/benchmark: history only, one info line
+          if (oncePerPipeline.add(s"declared-replay:$pipeline"))
+            log.info(s"[latency] pipeline=$pipeline declared replay " +
+              "(graft.replayMode=true) — live-latency alerts suppressed")
+        case Some(false) => alertLoud()
+        case None if st.avgLatencyMs > historicalCutoffMs =>
+          // AMBIGUOUS: looks like a historical replay, but a live pipeline
+          // >6 h behind looks identical and MUST page — keep the alert (the
+          // pager signal is `alerts`), rate-limit the log to one warn per
+          // pipeline so a months-deep backfill can't drown the logs
+          alerts.add(st)
+          if (oncePerPipeline.add(s"ambiguous-replay:$pipeline"))
+            log.warn(
+              f"[latency] pipeline=$pipeline avg latency ${st.avgLatencyMs}%.0fms exceeds " +
+                f"the ${historicalCutoffMs}ms replay ceiling — alerts stay ON (a live " +
+                "pipeline this far behind must page); if this is a backfill/benchmark, " +
+                "set -Dgraft.replayMode=true. Further per-batch warns for this " +
+                "pipeline are rate-limited.")
+        case None => alertLoud()
       }
     }
     st

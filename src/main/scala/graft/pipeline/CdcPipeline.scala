@@ -39,13 +39,16 @@ object CdcPipeline {
     // enrichment run exactly once per batch.
     val keyed = tableFiltered(routed(batch), tables).persist()
     try {
+      var t0 = System.nanoTime()
       sink.writeBatch(batchId, keyed)
+      graft.metrics.StageTimers.writeNs.addAndGet(System.nanoTime() - t0)
       // ONE aggregate computes both the commit lineage and the per-batch
       // source-latency stats (reference CDCMonitor's 10 s warn) — merging
       // them saves a full pass over the cached batch per micro-batch
       val alertMs = sys.props.get("graft.latencyAlertMs").map(_.toLong)
         .getOrElse(graft.metrics.LatencyMonitor.DefaultAlertMs)
       val nowMs = System.currentTimeMillis()
+      t0 = System.nanoTime()
       val lat = lit(nowMs) - col("source.ts_ms")
       val rows = keyed
         .groupBy(concat_ws("/", col("route"), col("src_table"), col("p_date")).as("part"))
@@ -57,6 +60,7 @@ object CdcPipeline {
           count(when(lat > alertMs, 1)).as("late"),
           count(col("source.ts_ms")).as("latN"))
         .collect()
+      graft.metrics.StageTimers.lineageNs.addAndGet(System.nanoTime() - t0)
       val lineage = rows.map(r =>
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       if (alertMs > 0 && rows.nonEmpty) {
@@ -70,7 +74,11 @@ object CdcPipeline {
           alertMs = alertMs,
           pipeline = sink.outDir)
       }
+      t0 = System.nanoTime()
       sink.commit(batchId, lineage)
+      graft.metrics.StageTimers.commitNs.addAndGet(System.nanoTime() - t0)
+      graft.metrics.StageTimers.batches.incrementAndGet()
+      ()
     } finally { keyed.unpersist(); () }
   }
 

@@ -226,6 +226,11 @@ object Joins {
     */
   def asOfJoinStream(events: Dataset[AsOfEvent], streaming: Boolean = true,
       strict: Boolean = false, idleTtlMs: Option[Long] = None): Dataset[AsOfJoined] = {
+    // ttl <= 0 would arm setTimeoutTimestamp(wm + ttl) at-or-below the
+    // current watermark — a runtime query failure — and make the data-path
+    // check expire keys instantly; reject it at plan time, loudly
+    require(idleTtlMs.forall(_ > 0),
+      s"idleTtlMs must be positive event-time millis, got $idleTtlMs")
     val spark = events.sparkSession
     import spark.implicits._
     val timeoutConf =

@@ -102,6 +102,17 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
     }
   }
 
+  /** Per-file fixed overhead estimate (parquet footer + dictionary pages)
+    * subtracted before deriving bytes/row. Without it the policy has a
+    * positive feedback loop: a small byte target ⇒ many files ⇒ overhead
+    * inflates measured bytes/row ⇒ a SMALLER derived cap ⇒ even more files,
+    * ratcheting toward 1-row files. Netting the overhead out measures the
+    * DATA rate, which is cap-independent. The estimate errs low and the
+    * net is floored at half the raw rate, so a wrong estimate can only
+    * leave files mildly under target — never restart the ratchet.
+    */
+  private val FileOverheadBytes = 2048L
+
   /** Re-measure bytes/row from a just-written batch dir (listing only —
     * no data read; rows come from the commit lineage, already computed).
     */
@@ -109,11 +120,15 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
     if (rollingFileSizeBytes > 0 && rows > 0 && fs.exists(new Path(dir))) {
       val it = fs.listFiles(new Path(dir), true)
       var bytes = 0L
+      var nFiles = 0L
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+        if (f.getPath.getName.endsWith(".parquet")) { bytes += f.getLen; nFiles += 1 }
       }
-      if (bytes > 0) observedRowBytes = bytes.toDouble / rows
+      if (bytes > 0) {
+        val net = math.max(bytes - nFiles * FileOverheadBytes, bytes / 2)
+        observedRowBytes = net.toDouble / rows
+      }
     }
 
   private def manifestPath(batchId: Long) = new Path(f"$outDir/_manifest/batch-$batchId%09d.json")

@@ -187,6 +187,10 @@ class ExportConfigSpec extends SparkSpec {
     assert(Export.parseTimeToMillis("0") == 0L && Export.parseSizeBytes("0") == 0L)
     val c = AppConfig.load(Seq("rollingFileSize=256MB", "rollingInterval=2min")).toOption.get
     assert(c.rollingFileSizeBytes == (256L << 20) && c.rollingIntervalMs == 120000L)
+    // a byte target below the parquet per-file floor is a config error —
+    // no record cap can meet it (files degenerate toward 1 row each)
+    assert(AppConfig.load(Seq("rollingFileSize=4KB")).isLeft)
+    assert(AppConfig.load(Seq("rollingFileSize=0")).toOption.isDefined, "0 disables")
   }
 
   test("avro encode failure falls back to raw JSON per record, container stays valid") {

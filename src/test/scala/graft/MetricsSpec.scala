@@ -48,42 +48,50 @@ class MetricsSpec extends SparkSpec {
     assert(graft.metrics.LatencyMonitor.history.size() == 2)
   }
 
-  test("latency monitor suppresses alerts on historical replays (sanity ceiling)") {
+  test("latency monitor is pager-safe: heuristic alone never suppresses alerts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     graft.metrics.LatencyMonitor.clear()
     val now = System.currentTimeMillis()
     def batch(tsMs: Long) =
       Seq(tsMs).toDF("v").select(struct(col("v").as("ts_ms")).as("source"))
-    // a replayed 2023-era event is months "late" — vacuous for a live-lag
-    // alert: recorded in history, NOT alerted (BENCH_r03 alert-storm fix)
+    // a months-"late" batch with NO explicit declaration is ambiguous — it
+    // could be a backfill OR a live pipeline catastrophically behind (the
+    // worst real incident). The alert MUST stay (pager safety does not
+    // depend on remembering a flag); only the per-batch log is rate-limited.
     val replay = graft.metrics.LatencyMonitor.check(1L,
       batch(now - 90L * 24 * 3600 * 1000), nowMs = now)
     assert(replay.lateEvents == 1, "stats still computed for the audit trail")
-    assert(graft.metrics.LatencyMonitor.alerts.isEmpty,
-      "historical replay must not raise live-latency alerts")
-    assert(graft.metrics.LatencyMonitor.history.size() == 1)
-    // a genuinely-lagging live batch (30 s) still alerts after a suppression
-    graft.metrics.LatencyMonitor.check(2L, batch(now - 30000), nowMs = now)
     assert(graft.metrics.LatencyMonitor.alerts.size() == 1,
+      "undeclared deep lag must still alert — heuristic alone never suppresses")
+    assert(graft.metrics.LatencyMonitor.history.size() == 1)
+    // a genuinely-lagging live batch (30 s) alerts normally
+    graft.metrics.LatencyMonitor.check(2L, batch(now - 30000), nowMs = now)
+    assert(graft.metrics.LatencyMonitor.alerts.size() == 2,
       "live lag below the ceiling must still alert")
-    // explicit override beats the heuristic both ways: a live pipeline 7h
-    // behind (the worst real incident) must still page when the operator
-    // declares it NOT a replay…
     try {
-      sys.props("graft.replayMode") = "false"
-      graft.metrics.LatencyMonitor.check(3L, batch(now - 7L * 3600 * 1000), nowMs = now)
-      assert(graft.metrics.LatencyMonitor.alerts.size() == 2,
-        "replayMode=false must alert even past the heuristic ceiling")
-      // …and a declared replay stays silent even when latencies look live
+      // full suppression requires the EXPLICIT declaration…
       sys.props("graft.replayMode") = "true"
-      graft.metrics.LatencyMonitor.check(4L, batch(now - 30000), nowMs = now)
+      graft.metrics.LatencyMonitor.check(3L, batch(now - 30000), nowMs = now)
       assert(graft.metrics.LatencyMonitor.alerts.size() == 2,
         "replayMode=true must suppress regardless of latency")
-      // a typo'd pager-safety flag fails loudly, never silently heuristic
+      // …and replayMode=false forces the full alert path past the ceiling
+      sys.props("graft.replayMode") = "false"
+      graft.metrics.LatencyMonitor.check(4L, batch(now - 7L * 3600 * 1000), nowMs = now)
+      assert(graft.metrics.LatencyMonitor.alerts.size() == 3,
+        "replayMode=false must alert even past the heuristic ceiling")
+      // a typo'd flag inside the data plane degrades to the heuristic path
+      // (still alerts, logs the parse error once) — it must NOT crash the
+      // streaming query from inside foreachBatch
       sys.props("graft.replayMode") = "nope"
+      graft.metrics.LatencyMonitor.record(5L, 30000, 30000.0, 1, 1)
+      assert(graft.metrics.LatencyMonitor.alerts.size() == 4,
+        "malformed flag falls back to the alerting path, never throws in-plane")
+      // …while config validation rejects the same typo at STARTUP
       intercept[IllegalArgumentException](
-        graft.metrics.LatencyMonitor.record(5L, 30000, 30000.0, 1, 1))
+        graft.metrics.LatencyMonitor.parseReplayMode("nope"))
+      assert(graft.config.AppConfig().validate().isLeft,
+        "config validation must reject a malformed graft.replayMode")
     } finally { sys.props.remove("graft.replayMode"); () }
   }
 
