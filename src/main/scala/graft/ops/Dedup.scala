@@ -386,6 +386,21 @@ object Dedup {
     math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
   }
 
+  /** Scale-aware sign-LSH band width: ⌈log₂ n⌉ + 4 bits (floor 12). Each
+    * band then has ≥ 16n possible keys, so the birthday-bound on FALSE
+    * candidates is ≈ bands · n²/2^bits ≤ bands · n/16 — per-band candidate
+    * volume stays LINEAR in n instead of the fixed-width O(n²·const) floor
+    * (the r4-measured 3%-of-all-pairs constant at 12 bits: 374k candidate
+    * pairs at 5k docs grew to 36.9M at 50k). `lshBandsFor` re-sizes the
+    * band count as bits grow (recall at the threshold stays ≥ 1−10⁻³ by
+    * construction), multiplying back ~(1/p(t))^bits ≈ n^0.33 at t = 0.8 —
+    * net candidate growth ~n^1.33, the sign-LSH asymptotic, instead of n².
+    * A fixed caller-supplied width keeps exactly what it asks for (the
+    * gate query pins 12/105 so its DuckDB mirror stays tractable).
+    */
+  def autoBitsPerBand(n: Long): Int =
+    math.max(12, 4 + 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+
   /** EXACT all-pairs embedding cosine (reference implementation): a
     * non-equi join → nested loop, O(n²). Test/small-scale ONLY — it is the
     * recall oracle for `embeddingNearDupPairs`, never a production path.
@@ -428,16 +443,20 @@ object Dedup {
     * exact reference or a quantized index, not this operator.
     */
   def embeddingCosinePairs(embs: DataFrame, threshold: Double,
-      bands: Int = 0, bitsPerBand: Int = 10,
+      bands: Int = 0, bitsPerBand: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val nBands = if (bands > 0) bands else lshBandsFor(threshold, bitsPerBand)
+    // bitsPerBand ≤ 0 (the default): size the band width from the corpus —
+    // a fixed width carries an O(n²·const) false-candidate floor at scale
+    // (autoBitsPerBand scaladoc); the count() is one metadata-cheap job
+    val bits = if (bitsPerBand > 0) bitsPerBand else autoBitsPerBand(embs.count())
+    val nBands = if (bands > 0) bands else lshBandsFor(threshold, bits)
     val isFloat = Similarity.isFloatVec(embs, vecCol)
     val e = embs.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
     val keys = embs.select(col(idCol).as("id"),
         posexplode(graft.functions.VectorFunctions.lshBandKeysFp(
-          col(vecCol), isFloat, nBands, bitsPerBand)))
+          col(vecCol), isFloat, nBands, bits)))
       .toDF("id", "band", "key")
     val cand = keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -476,35 +495,32 @@ object Dedup {
     * 100 TB the shuffle key is the (band, key) pair and AQE skew-join
     * handles hot buckets.
     *
-    * Candidate-volume scaling (measured, r4): at the default 12-bit/105-
-    * band point the false-candidate rate is a CONSTANT ≈3% of all pairs
-    * on this corpus family (374k candidates at 5k docs, 36.9M at 50k) —
-    * random cross-doc cosines (~0.3) are close enough to t = 0.8 that 12
-    * sign bits only separate them that far, so candidates are O(n²·0.03).
-    * The default is a small-corpus operating point chosen so the DuckDB
-    * mirror stays tractable; a large corpus must grow bitsPerBand with n
-    * (bands re-size automatically via lshBandsFor), which drives the
-    * exponent toward the sign-LSH asymptotic n^(1+ρ), ρ =
-    * ln p(t)/ln p(c_background) ≈ 0.44 here. Both knobs are parameters.
+    * Candidate-volume scaling (measured, r4; fixed r5): at a FIXED
+    * 12-bit/105-band point the false-candidate rate is a CONSTANT ≈3% of
+    * all pairs on this corpus family (374k candidates at 5k docs, 36.9M at
+    * 50k) — random cross-doc cosines (~0.3) are close enough to t = 0.8
+    * that 12 sign bits only separate them that far, so candidates are
+    * O(n²·0.03). The DEFAULT (`bitsPerBand ≤ 0`) therefore auto-sizes the
+    * band width from the corpus count — `autoBitsPerBand` — and
+    * `lshBandsFor` re-sizes bands, driving the exponent to the sign-LSH
+    * asymptotic n^(1+ρ) (ρ ≈ 0.33–0.44 here) with recall at the threshold
+    * still ≥ 1−10⁻³ by construction (OpsSpec pins candidate-fraction
+    * decrease at two corpus sizes AND auto == exact on the fixture). An
+    * explicit bitsPerBand keeps exactly what it asks for — the gate query
+    * pins 12 so its DuckDB mirror stays tractable at gate scale.
     */
   def embeddingNearDupPairs(docs: DataFrame, tNum: Long = 4L, tDen: Long = 5L,
-      dims: Int = 256, n: Int = 3, bands: Int = 0, bitsPerBand: Int = 12,
+      dims: Int = 256, n: Int = 3, bands: Int = 0, bitsPerBand: Int = 0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(tNum > 0 && tDen >= tNum, "threshold must be a rational in (0, 1]")
-    val nBands = if (bands > 0) bands
-      else lshBandsFor(tNum.toDouble / tDen, bitsPerBand)
     // cached: the embedding projection (md5 per distinct gram — the hot
     // kernel) feeds three branches (band keys + both verify sides); without
     // the cache it is recomputed per branch
     val emb = hashedEmbeddings(docs, dims, n, idCol, textCol).cache()
-    val keys = emb.select(col("id"),
-        posexplode(call_function("lsh_band_keys", col("v"), lit(nBands), lit(bitsPerBand))))
-      .toDF("id", "band", "key")
-    val cand = keys.as("x").join(keys.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"))
-      .distinct()
+    val bits = if (bitsPerBand > 0) bitsPerBand else autoBitsPerBand(emb.count())
+    val nBands = if (bands > 0) bands
+      else lshBandsFor(tNum.toDouble / tDen, bits)
+    val cand = signLshCandidates(emb, nBands, bits)
     val e1 = emb.select(col("id").as("id1"), col("v").as("v1"), col("n2").as("n21"))
     val e2 = emb.select(col("id").as("id2"), col("v").as("v2"), col("n2").as("n22"))
     cand.join(e1, "id1").join(e2, "id2")
@@ -514,6 +530,25 @@ object Dedup {
       .select(col("id1"), col("id2"),
         round(col("dot").cast("double") / sqrt((col("n21") * col("n22")).cast("double")), 4)
           .as("cosine"))
+  }
+
+  /** The sign-LSH candidate pair set over hashed embeddings (`emb` from
+    * `hashedEmbeddings`: id, v, n2) — the blocking stage of
+    * `embeddingNearDupPairs` alone. Package-visible so the candidate
+    * VOLUME (the thing the auto-sized operating point controls) is
+    * directly auditable: OpsSpec measures the candidate fraction at two
+    * corpus sizes and pins that it falls under auto-sizing.
+    */
+  private[graft] def signLshCandidates(emb: DataFrame, bands: Int,
+      bitsPerBand: Int): DataFrame = {
+    val keys = emb.select(col("id"),
+        posexplode(call_function("lsh_band_keys", col("v"), lit(bands), lit(bitsPerBand))))
+      .toDF("id", "band", "key")
+    keys.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
   }
 
   /** Benchmark decontamination: drop every corpus document sharing ANY word

@@ -217,10 +217,14 @@ object Queries {
     * its cosine tail is continuous around any threshold, so no sub-quadratic
     * method exists on it; the documents corpus has planted near-dups with a
     * 0.95-vs-0.29 cosine gap). Sign-LSH banded candidates + exact integer
-    * verify; threshold 4/5.
+    * verify; threshold 4/5. The gate query PINS the 12-bit operating point
+    * (bands auto-size to 105) so the DuckDB mirror enumerates the same
+    * bands tractably at gate scale; the operator's own default auto-sizes
+    * bitsPerBand from the corpus count (Dedup.autoBitsPerBand).
     */
   def q22EmbDedup(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ops.Dedup.embeddingNearDupPairs(table(spark, sfDir, "documents"))
+    graft.ops.Dedup.embeddingNearDupPairs(table(spark, sfDir, "documents"),
+      bitsPerBand = 12)
 
   /** q25: exact cosine range search (every vector with cosine ≥ 0.25 to the
     * query) through the IVF index's triangle-inequality bucket prune.

@@ -264,6 +264,42 @@ class OpsSpec extends SparkSpec {
     assertSameRows(Dedup.embeddingNearDupPairs(docs), Dedup.embeddingNearDupPairs(docs))
   }
 
+  test("auto-sized LSH operating point: candidate fraction FALLS as the corpus grows") {
+    import spark.implicits._
+    // two corpora from the same text distribution at 8× different sizes —
+    // the r4-measured failure mode was a CONSTANT ~3% candidate fraction at
+    // the fixed 12-bit point (O(n²) candidates); auto-sizing must instead
+    // widen bands with n so the fraction decreases (sub-quadratic volume)
+    def corpus(n: Int, seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      val vocab = Array.tabulate(800)(i => s"w${i}x")
+      (0 until n).map { i =>
+        val words = Seq.fill(30)(vocab(math.min(
+          (math.abs(rng.nextGaussian()) * 160).toInt, vocab.length - 1)))
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+    }
+    def fraction(n: Int): Double = {
+      val emb = graft.ops.Dedup.hashedEmbeddings(corpus(n, seed = 7)).cache()
+      try {
+        val bits = graft.ops.Dedup.autoBitsPerBand(n)
+        val bands = graft.ops.Dedup.lshBandsFor(0.8, bits)
+        val cands = graft.ops.Dedup.signLshCandidates(emb, bands, bits).count()
+        cands.toDouble / (n.toDouble * (n - 1) / 2)
+      } finally { emb.unpersist(); () }
+    }
+    val (small, large) = (400, 3200)
+    assert(graft.ops.Dedup.autoBitsPerBand(large) > graft.ops.Dedup.autoBitsPerBand(small),
+      "band width must grow with the corpus")
+    val (fSmall, fLarge) = (fraction(small), fraction(large))
+    assert(fLarge < fSmall * 0.8,
+      f"candidate fraction must fall under auto-sizing: $fSmall%.4f @ $small -> $fLarge%.4f @ $large")
+    // floor + monotonicity sanity of the sizing rule itself
+    assert(graft.ops.Dedup.autoBitsPerBand(1) == 12 &&
+      graft.ops.Dedup.autoBitsPerBand(5000) == 17 &&
+      graft.ops.Dedup.autoBitsPerBand(100000000L) == 31)
+  }
+
   test("float-embedding near-dup: LSH-blocked == exact all-pairs on planted dups") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
