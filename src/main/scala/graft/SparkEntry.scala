@@ -62,7 +62,8 @@ object SparkEntry {
     "q39_substring_dedup" -> (Queries.q39SubstringDedup _),
     "q40_scrub" -> (Queries.q40Scrub _),
     "q41_knn_join" -> (Queries.q41KnnJoin _),
-    "q42_curation" -> (Queries.q42Curation _)
+    "q42_curation" -> (Queries.q42Curation _),
+    "q43_knn_bucketed" -> (Queries.q43KnnBucketed _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -526,6 +527,26 @@ object SparkEntry {
         |SELECT doc_id, source FROM k
         |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
         |  AND ('0x' || substr(md5('s0:' || doc_id), 1, 15))::UBIGINT::BIGINT
-        |      < 576460752303423488""".stripMargin
+        |      < 576460752303423488""".stripMargin,
+    // q43 mirror: the BUCKETED corpus-scale kNN join is exact by
+    // construction (triangle-inequality expansion — knnJoinBucketed
+    // scaladoc), so its oracle is the same brute-force ranking as q41's,
+    // over the larger %20 probe set. A pruning bug (a bucket skipped that
+    // still held a true neighbor) breaks the hash here.
+    "q43_knn_bucketed" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings
+        |           WHERE vec_id % 20 = 0
+        |             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |s AS (SELECT q.qid, e.vec_id,
+        |        list_dot_product(e.embedding::DOUBLE[], q.qv)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q.qv, q.qv))) AS c
+        |      FROM embeddings e, q
+        |      WHERE e.vec_id <> q.qid
+        |        AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT qid, vec_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5""".stripMargin
   )
 }

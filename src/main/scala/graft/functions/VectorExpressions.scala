@@ -4,8 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Vector kernels for the IVF index: nearest-centroid assignment as a
   * native Catalyst expression — a narrow, codegen'd map whose centroid
@@ -47,6 +47,41 @@ object VectorKernels {
     }
     new GenericInternalRow(Array[Any](best, math.sqrt(bestD)))
   }
+
+  /** Normalized-space L2 distance from `vec` to EVERY centroid — the
+    * per-probe column form of the driver-side probe plan: downstream
+    * higher-order functions slice the nProbe nearest cids and the
+    * triangle-inequality expansion set from this one array, so a
+    * corpus-sized probe set never round-trips through the driver
+    * (Similarity.knnJoinBucketed).
+    */
+  def distsToAll(vec: ArrayData, isFloat: Boolean,
+      cents: Array[Array[Double]]): ArrayData = {
+    val n = vec.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      v(i) = x
+      s += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    if (nrm > 0) { i = 0; while (i < n) { v(i) /= nrm; i += 1 } }
+    val out = new Array[Any](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0
+      var j = 0
+      val m = math.min(n, ct.length)
+      while (j < m) { val t = v(j) - ct(j); d += t * t; j += 1 }
+      out(c) = math.sqrt(d)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** nearest_centroid(vec): struct(cid int, dist double) in normalized space. */
@@ -67,6 +102,24 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** centroid_dists(vec): array<double> of normalized-space L2 distances to
+  * each centroid — see VectorKernels.distsToAll.
+  */
+case class CentroidDists(child: Expression, centroids: Array[Array[Double]],
+    isFloat: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_dists"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.distsToAll(input.asInstanceOf[ArrayData], isFloat, centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.distsToAll($c, $isFloat, $cents);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CentroidDists =
+    copy(child = newChild)
+}
+
 /** Column wrappers for expressions that carry non-literal state (a centroid
   * matrix) and therefore can't go through the SQL function registry.
   */
@@ -77,6 +130,11 @@ object VectorFunctions {
       isFloat: Boolean): Column =
     GraftSqlBridge.column(
       NearestCentroid(GraftSqlBridge.expression(vec), centroids, isFloat))
+
+  def centroidDists(vec: Column, centroids: Array[Array[Double]],
+      isFloat: Boolean): Column =
+    GraftSqlBridge.column(
+      CentroidDists(GraftSqlBridge.expression(vec), centroids, isFloat))
 
   def lshBandKeysFp(vec: Column, isFloat: Boolean, bands: Int,
       bitsPerBand: Int): Column =

@@ -98,6 +98,99 @@ object Similarity {
       .select(col(qidCol), col(idCol), round(col("cosine"), 4).as("cosine"), col("rk"))
   }
 
+  /** CORPUS-SCALE batch kNN join: exact top-k cosine neighbors for every
+    * query row when the query side is itself corpus-sized (dedup-against-
+    * index, hard-negative mining) — the regime `knnJoin`'s broadcast-probe
+    * contract excludes. NOTHING broadcasts but the centroid matrix
+    * (nlist × dims doubles, riding the plan as a codegen reference
+    * object); both sides meet ONLY in cid equi-joins.
+    *
+    * Plan shape (the probeAndExpand driver loop recast as per-probe COLUMN
+    * computation so it distributes):
+    *   1. corpus → IVF index (cid per row; centroids + per-bucket radii on
+    *      the driver, k-means over a bounded sample);
+    *   2. each probe computes its distance array to ALL centroids in one
+    *      narrow codegen'd kernel (`centroid_dists`), slices the nProbe
+    *      nearest cids, explodes → cid equi-join with the index → per-qid
+    *      running top-k gives the kth-best-so-far cosine δ_q;
+    *   3. exact expansion: every UNPROBED bucket whose triangle-inequality
+    *      lower bound ‖q−c_j‖ − radius_j could still beat δ_q (all of
+    *      them when the probed buckets held < k candidates) explodes the
+    *      same way → second cid equi-join → union with step 2's
+    *      candidates → final top-k rerank.
+    *
+    * Recall is 1.0 by construction (the same exactness argument as
+    * `ivfSearch`, per probe); scores/ranks are bit-identical to `knnJoin`
+    * (same sequential-fold double cosine, same (cosine desc, id)
+    * tiebreak) — OpsSpec pins equality. Pruning power is data-dependent:
+    * clustered corpora probe ~nProbe/nlist of the data per query; uniform
+    * noise degenerates toward the full scan that exactness requires.
+    *
+    * Scale: shuffles are cid equi-joins (AQE handles hot buckets) + the
+    * per-qid top-k windows; corpus vectors are scanned where they lie and
+    * never broadcast (PlanSpec asserts no cartesian/BNLJ). The index is
+    * persisted for its two probe phases — callers at true scale should
+    * `writeIvfIndex` once and reuse.
+    */
+  def knnJoinBucketed(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 64, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && nProbe >= 1, "knnJoinBucketed: bad params")
+    val (assigned, model) = buildIvfIndex(corpus, nlist, idCol = idCol, vecCol = vecCol)
+    val index = assigned.select(col(idCol), col(vecCol), col("cid")).persist()
+    val nP = math.min(nProbe, model.nlist)
+    val isFloatQ = isFloatVec(queries, qvecCol)
+
+    // per-probe probe plan, fully columnar: dist array → nProbe nearest cids
+    val cidSeq = sequence(lit(0), lit(model.nlist - 1))
+    val qd = queries
+      .where(col(qvecCol).isNotNull && norm(col(qvecCol)) > 0)
+      .withColumn("_cd", graft.functions.VectorFunctions.centroidDists(
+        col(qvecCol), model.centroids, isFloatQ))
+      .withColumn("_probed", transform(
+        slice(array_sort(zip_with(col("_cd"), cidSeq,
+          (d, i) => struct(d.as("d"), i.as("i")))), 1, nP),
+        s => s.getField("i")))
+      .persist()
+
+    def cosineTo(candidates: DataFrame): DataFrame = candidates
+      .where(col(idCol) =!= col(qidCol))
+      .withColumn("cosine",
+        dot(asDouble(col(vecCol)), asDouble(col(qvecCol))) /
+          (norm(col(vecCol)) * norm(col(qvecCol))))
+      .select(col(qidCol), col(idCol), col("cosine"))
+
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    val cand1 = cosineTo(
+      qd.select(col(qidCol), col(qvecCol), explode(col("_probed")).as("cid"))
+        .join(index, "cid"))
+    // δ_q = kth-best cosine among the probed buckets (UNROUNDED), and how
+    // many candidates they actually held — both per probe, one aggregation
+    val stats = cand1.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .groupBy(col(qidCol))
+      .agg(max(col("rk")).as("_cnt"), min(col("cosine")).as("_kth"))
+    // exact expansion set: cosine δ ⇔ normalized-space distance √(2−2δ);
+    // a probe with < k candidates so far must visit every unprobed bucket
+    val radii = array(model.radii.map(x => lit(x)): _*)
+    val expanded = qd.join(stats, Seq(qidCol), "left")
+      .withColumn("_dRad",
+        when(col("_cnt").isNull || col("_cnt") < k, lit(Double.MaxValue))
+          .otherwise(sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("_kth"))) + lit(1e-9)))
+      .withColumn("_exp", filter(cidSeq, j =>
+        !array_contains(col("_probed"), j) &&
+          element_at(col("_cd"), j + 1) - element_at(radii, j + 1) <= col("_dRad")))
+    val cand2 = cosineTo(
+      expanded.select(col(qidCol), col(qvecCol), explode(col("_exp")).as("cid"))
+        .join(index, "cid"))
+    cand1.unionByName(cand2)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(qidCol), col(idCol), round(col("cosine"), 4).as("cosine"), col("rk"))
+  }
+
   // ------------------------------- IVF -------------------------------
   //
   // Index: vectors are normalized to the unit sphere (cosine ⇔ L2 there),

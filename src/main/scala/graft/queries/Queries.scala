@@ -420,6 +420,20 @@ object Queries {
     graft.ops.Similarity.knnJoin(emb, probes, k = 5)
   }
 
+  /** q43: CORPUS-SCALE bucketed kNN join — top-5 cosine neighbors for every
+    * probe (vec_id ≡ 0 mod 20) through IVF centroid buckets: probes and
+    * corpus meet only in cid equi-joins (never a corpus broadcast or
+    * cartesian — the regime q41's broadcast-probe contract excludes).
+    * Exact by triangle-inequality expansion, so the oracle is the same
+    * brute-force ranking as q41's.
+    */
+  def q43KnnBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val probes = emb.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.ops.Similarity.knnJoinBucketed(emb, probes, k = 5, nlist = 16, nProbe = 2)
+  }
+
   /** q42: the end-to-end corpus-curation pipeline a training-data user
     * actually runs — quality filter → exact dedup (keep the min-id
     * representative) → benchmark decontamination (8-gram overlap with the

@@ -533,6 +533,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("knnJoinBucketed == knnJoin (exact through IVF buckets, incl. forced expansion)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val reference = Similarity.knnJoin(emb, probes, k = 5)
+    // normal operating point
+    assertSameRows(
+      Similarity.knnJoinBucketed(emb, probes, k = 5, nlist = 16, nProbe = 2),
+      reference, "bucketed vs broadcast knn, nlist=16 nProbe=2")
+    // stress the exactness machinery: 1 probed bucket of 8 cannot hold the
+    // true top-5 for most probes — the triangle-inequality expansion (and
+    // the <k fallback) must recover every missing neighbor
+    assertSameRows(
+      Similarity.knnJoinBucketed(emb, probes, k = 5, nlist = 8, nProbe = 1),
+      reference, "bucketed vs broadcast knn, forced expansion")
+    spark.catalog.clearCache()
+  }
+
   test("multimodal: deterministic features, fixed dim, partition-local") {
     val media = Multimodal.mediaFromDocuments(docs)
     val f1 = Multimodal.extractFeatures(media).toDF()

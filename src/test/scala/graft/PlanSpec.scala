@@ -144,6 +144,22 @@ class PlanSpec extends SparkSpec {
     assert(!bad, "no shuffle of embedding vectors:\n" + p.take(800))
   }
 
+  test("q43: bucketed knn — cid equi-joins only, no cartesian, top-k moves scores not vectors") {
+    val p = plan(Queries.q43KnnBucketed(spark, sf))
+    // the corpus-scale regime's whole point: probes and corpus meet in cid
+    // EQUI-joins — never a cartesian/NLJ product (q41's broadcast product
+    // is the contract this operator exists to avoid)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // the per-probe top-k windows repartition by qid carrying only
+    // (qid, id, cosine) — vectors must not ride the ranking exchange
+    val bad = p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(qid") &&
+        (l.contains("embedding#") || l.contains("qvec#")))
+    assert(!bad, "top-k exchange must move scores, not vectors:\n" + p.take(800))
+    spark.catalog.clearCache()
+  }
+
   test("q42: curation pipeline joins move ids only — text never in an exchange") {
     val p = plan(Queries.q42Curation(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
