@@ -47,7 +47,7 @@ object Savepoint {
   /** Create a relocatable savepoint of `workDir` at `destDir`. */
   def create(spark: SparkSession, workDir: String, destDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = FileSystem.get(new java.net.URI(workDir), conf)
+    val fs = new Path(workDir).getFileSystem(conf)
     require(!fs.exists(new Path(destDir)),
       s"savepoint dest $destDir already exists — a nested copy would silently keep the stale state")
     val srcStream = streamDirOf(fs, workDir)
@@ -60,7 +60,9 @@ object Savepoint {
         require(fs.exists(new Path(src)), s"no ${new Path(src).getName} under $workDir — run the pipeline first")
         org.apache.hadoop.fs.FileUtil.copy(fs, new Path(src), fs, new Path(dst), false, conf)
       }
+      failpoint("after-copy")
       rebaseSourceLog(fs, s"$destDir/checkpoint", srcStream, dstStream)
+      failpoint("after-rebase")
       val mk = fs.create(new Path(s"$destDir/savepoint.json"), true)
       mk.write(s"""{"streamDir":"$dstStream"}""".getBytes("UTF-8")); mk.close()
     } catch {
@@ -83,18 +85,20 @@ object Savepoint {
   /** Rewrite the absolute stream-dir prefix inside every seen-file log
     * entry (`checkpoint/sources/<i>/<batch>` and `.compact` rollups). The
     * entries are one JSON object per line with a `file://`-URI `path`; a
-    * plain prefix substitution on the NORMALIZED directory path covers
-    * both the `file://old` and raw `old` renderings because the dir is a
-    * substring of each. Rewriting goes through fs.create so checksum
-    * sidecars are regenerated. (Assumes URI-safe dir names — true for any
-    * sane deployment path; percent-encoded dirs would need URI-aware
-    * rewrite.)
+    * prefix substitution on the NORMALIZED directory path covers both the
+    * `file://old` and raw `old` renderings because the dir is a substring
+    * of each, and the PERCENT-ENCODED rendering (a space-containing
+    * workDir stores `%20` in the URI log) is substituted via its own
+    * encoded old→new pair. Rewriting goes through fs.create so the
+    * LocalFileSystem checksum sidecars (`.N.crc`) are regenerated.
     *
-    * FAIL-LOUD VERIFICATION: a silent no-op here (path rendering mismatch,
-    * symlinked dirs) would produce a savepoint whose resume re-ingests and
-    * duplicates every event — so if the log carries seen-file entries but
-    * NONE matched the old prefix, creation aborts instead of shipping a
-    * poisoned artifact. Both inputs are normalized through Hadoop Path
+    * FAIL-LOUD VERIFICATION, PER ENTRY: a silently-skipped entry (path
+    * rendering mismatch, symlinked subset, a second source rooted
+    * elsewhere) would ship a savepoint whose resume re-ingests and
+    * duplicates exactly that subset — so EVERY seen-file entry must match
+    * one of the old renderings, or creation aborts listing samples of the
+    * unmatched paths (ADVICE r4: a partial rebase is as poisoned as a
+    * zero rebase). Both inputs are normalized through Hadoop Path
     * (trailing/double slashes collapse) before matching.
     */
   def rebaseSourceLog(fs: FileSystem, checkpointDir: String,
@@ -103,30 +107,53 @@ object Savepoint {
     if (!fs.exists(sources)) return
     val oldNorm = fs.makeQualified(new Path(oldStreamDir)).toUri.getPath
     val newNorm = fs.makeQualified(new Path(newStreamDir)).toUri.getPath
+    // percent-encoded renderings of the same decoded paths (identical for
+    // URI-safe dirs, in which case the second substitution is skipped)
+    val oldEnc = new java.net.URI(null, null, oldNorm, null).getRawPath
+    val newEnc = new java.net.URI(null, null, newNorm, null).getRawPath
     var entries = 0L
-    var rewritten = 0L
+    var matched = 0L
+    val unmatched = scala.collection.mutable.ArrayBuffer[String]()
     val it = fs.listFiles(sources, true)
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
       if (st.isFile && !name.startsWith(".")) {
         val body = readText(fs, st.getPath)
-        entries += body.linesIterator.count(_.contains("\"path\""))
-        val rebased = body.replace(oldNorm, newNorm)
+        body.linesIterator.filter(_.contains("\"path\"")).foreach { line =>
+          entries += 1
+          if (line.contains(oldNorm) || (oldEnc != oldNorm && line.contains(oldEnc)))
+            matched += 1
+          else if (unmatched.size < 5) unmatched += line.take(200)
+        }
+        val rebased = {
+          val b = body.replace(oldNorm, newNorm)
+          if (oldEnc != oldNorm) b.replace(oldEnc, newEnc) else b
+        }
         if (rebased != body) {
-          rewritten += 1
           val out = fs.create(st.getPath, true)
           out.write(rebased.getBytes("UTF-8")); out.close()
         }
       }
     }
-    if (entries > 0 && rewritten == 0)
+    if (entries > 0 && matched < entries)
       throw new IllegalStateException(
-        s"savepoint rebase matched NOTHING: $entries seen-file entries under " +
-          s"$sources but none reference '$oldNorm' — refusing to create a " +
-          "savepoint whose resume would re-ingest (and duplicate) every event. " +
-          "Is the workDir path spelled the way the pipeline was started with?")
+        s"savepoint rebase matched $matched of $entries seen-file entries under " +
+          s"$sources against '$oldNorm' — refusing to create a savepoint whose " +
+          "resume would re-ingest (and duplicate) the unmatched subset. " +
+          "Is the workDir path spelled the way the pipeline was started with? " +
+          s"Unmatched samples:\n${unmatched.mkString("\n")}")
   }
+
+  /** Test-only crash injection: `-Dgraft.test.savepoint.crash=<point>`
+    * throws between creation stages so the crash-window cleanup contract
+    * (no partial artifact ever survives without its marker) is pinnable.
+    * Points: "after-copy", "after-rebase". Unset in production — the check
+    * is one sysprop read per savepoint, not per row.
+    */
+  private def failpoint(name: String): Unit =
+    if (sys.props.get("graft.test.savepoint.crash").contains(name))
+      throw new IllegalStateException(s"injected savepoint crash at $name (test failpoint)")
 
   private def readText(fs: FileSystem, p: Path): String =
     graft.util.FsText.readText(fs, p)

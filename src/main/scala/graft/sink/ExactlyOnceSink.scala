@@ -45,7 +45,7 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
     rollingFileSizeBytes: Long = 0L) extends Serializable {
 
   private def fs: FileSystem =
-    FileSystem.get(new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Observed parquet bytes per row across the batches committed so far —
     * drives the size-based rolling policy (reference S3Sink rolls files at

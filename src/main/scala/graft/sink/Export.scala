@@ -204,8 +204,8 @@ object Export {
     // clear stale staging BEFORE the job: leftovers from a crashed prior
     // run carry attempt ids from that application and could out-rank (and
     // out-date) this run's files in the max-attempt promotion
-    val fsDriver = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(destDir), spark.sparkContext.hadoopConfiguration)
+    val fsDriver = new org.apache.hadoop.fs.Path(destDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsDriver.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
     flat.repartition(math.max(2, spark.sparkContext.defaultParallelism))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -215,8 +215,7 @@ object Export {
           val att = tc.taskAttemptId()
           val conf = new org.apache.hadoop.conf.Configuration()
           hadoopEntries.foreach { case (k, v) => conf.set(k, v) }
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(destDir), conf)
+          val fs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(conf)
           fs.mkdirs(new org.apache.hadoop.fs.Path(stagingDir))
           writeAvroPart(it, schemaStr, fs,
             new org.apache.hadoop.fs.Path(f"$stagingDir/part-$pid%05d-a$att.avro"),
@@ -230,8 +229,8 @@ object Export {
         }
       }
     // promote one winning attempt per partition, publish per partition
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(destDir), spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(destDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stPath = new org.apache.hadoop.fs.Path(stagingDir)
     val stagedName = """part-(\d+)-a(\d+)\.avro""".r
     val staged =

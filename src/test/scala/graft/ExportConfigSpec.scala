@@ -490,6 +490,83 @@ class ExportConfigSpec extends SparkSpec {
     intercept[IllegalStateException](pipeline.Savepoint.streamDirOf(fs, dest2))
   }
 
+  test("savepoint: mid-creation crash leaves NO partial artifact; original still resumes") {
+    val tableDir = tmpDir("cwtable")
+    val w = tmpDir("cwwork")
+    val cfg = GenConfig(numConvs = 20, avgTurns = 6, changeFiles = 2)
+    TranscriptGen.writeTable(spark, cfg, tableDir)
+    ChangeStreamReader.deliverChanges(spark, tableDir, s"$w/stream", phaseFilter = _ == 0)
+    CdcPipeline.runAvailable(spark, tableDir, s"$w/stream", s"$w/out", s"$w/checkpoint")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // crash between the checkpoint/sink/stream copy and the marker write —
+    // both windows: before and after the seen-file rebase. A partial
+    // artifact without its marker resumes against an UNREBASED checkpoint
+    // and duplicates everything, so the cleanup contract is: dest is GONE.
+    for (point <- Seq("after-copy", "after-rebase")) {
+      val dest = s"${tmpDir(s"cwdest$point")}/sp"
+      try {
+        sys.props("graft.test.savepoint.crash") = point
+        val e = intercept[IllegalStateException](pipeline.Savepoint.create(spark, w, dest))
+        assert(e.getMessage.contains("injected"), e.getMessage)
+      } finally { sys.props.remove("graft.test.savepoint.crash"); () }
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dest)),
+        s"crash at $point must not leave a partial savepoint artifact")
+    }
+    // the original lineage is untouched by the failed attempts: deliver the
+    // remaining phase and drain to the exact oracle state
+    ChangeStreamReader.deliverChanges(spark, tableDir, s"$w/stream")
+    CdcPipeline.runAvailable(spark, tableDir, s"$w/stream", s"$w/out", s"$w/checkpoint")
+    assertSameRows(
+      CdcPipeline.materialize(spark, s"$w/out").toDF(),
+      TranscriptGen.finalState(spark, cfg).toDF(),
+      "original workDir resumes after crashed savepoint attempts")
+  }
+
+  test("savepoint: URI-encoded (space-containing) workDir rebases and resumes") {
+    val tableDir = tmpDir("uritable")
+    val w = s"${tmpDir("uriwork")}/work dir with spaces"
+    val dest = s"${tmpDir("uridest")}/sp dest"
+    val cfg = GenConfig(numConvs = 20, avgTurns = 6, changeFiles = 2)
+    TranscriptGen.writeTable(spark, cfg, tableDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // the seen-file log stores file: URIs, so a space renders as %20 — the
+    // rebase must rewrite the ENCODED form (r4 documented caveat, now live)
+    ChangeStreamReader.deliverChanges(spark, tableDir, s"$w/stream", phaseFilter = _ == 0)
+    CdcPipeline.runAvailable(spark, tableDir, s"$w/stream", s"$w/out", s"$w/checkpoint")
+    pipeline.Savepoint.create(spark, w, dest)
+    fs.delete(new org.apache.hadoop.fs.Path(w), true)
+    ChangeStreamReader.deliverChanges(spark, tableDir, s"$dest/stream")
+    CdcPipeline.runAvailable(spark, tableDir, s"$dest/stream", s"$dest/out", s"$dest/checkpoint")
+    assertSameRows(
+      CdcPipeline.materialize(spark, s"$dest/out").toDF(),
+      TranscriptGen.finalState(spark, cfg).toDF(),
+      "space-containing savepoint resume vs oracle")
+    val sink = new ExactlyOnceSink(spark, s"$dest/out")
+    val committed = Seq("events", "errors", "schema_changes")
+      .flatMap(s => sink.readCommitted(s).map(_.count())).sum
+    assert(committed == ChangeStreamReader.batch(spark, s"$dest/stream").count(),
+      "encoded-path resume must neither duplicate nor drop events")
+  }
+
+  test("savepoint: a PARTIALLY-matching rebase aborts (subset re-ingest hazard)") {
+    // one entry under the stream dir, one foreign (second source / symlink
+    // rendering) — shipping this would re-ingest only the foreign subset on
+    // resume, the silent-duplication class ADVICE r4 flagged
+    val ck = tmpDir("pmck")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val log = fs.create(new org.apache.hadoop.fs.Path(s"$ck/sources/0/0"), true)
+    log.write(
+      ("v1\n" +
+        """{"path":"file:///tmp/pm-stream/a.parquet","timestamp":1,"batchId":0}""" + "\n" +
+        """{"path":"file:///somewhere/else/b.parquet","timestamp":1,"batchId":0}""" + "\n")
+        .getBytes("UTF-8"))
+    log.close()
+    val e = intercept[IllegalStateException](
+      pipeline.Savepoint.rebaseSourceLog(fs, ck, "/tmp/pm-stream", "/tmp/pm-new"))
+    assert(e.getMessage.contains("1 of 2") && e.getMessage.contains("somewhere/else"),
+      e.getMessage)
+  }
+
   test("savepoint: a copied checkpoint resumes identically (no dupes/loss)") {
     val tableDir = tmpDir("svtable")
     val streamDir = tmpDir("svstream")
