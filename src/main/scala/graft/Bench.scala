@@ -182,9 +182,15 @@ object Bench {
     // single-shot numbers up to 20× in observed runs; the min across passes
     // is the robust per-query statistic.
     val queryReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt)
+    // SPARK_GRAFT_ONLY=qA,qB: isolation mode for attributing one query's
+    // regression without the 40-query battery's cache/GC wake (skips the
+    // CDC block — it's a per-query tool, not the protocol)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val passes = (1 to queryReps).map { rep =>
-      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -205,6 +211,14 @@ object Bench {
     // failure in another rep is not an error of record (a query failing in
     // EVERY rep stays in `errors` and has no timing)
     results.foreach { case (name, _) => errors.remove(name) }
+
+    if (only.isDefined) {
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"only","queries":$qs0,"query_reps":$queryReps,"sf":"$sfDir","cpus":$cpus}""")
+      spark.stop()
+      sys.exit(if (errors.nonEmpty) 3 else 0)
+    }
 
     // 50k convs ≈ 1.7M events: large enough that replay throughput measures
     // work, not micro-batch scheduling overhead (at 20k convs the number was
