@@ -429,6 +429,12 @@ object GraftFunctions {
     (new FunctionIdentifier("dot_i64"),
       new ExpressionInfo(classOf[DotLong].getName, "dot_i64"),
       (args: Seq[Expression]) => DotLong(args.head, args(1))),
+    (new FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[VecDot].getName, "dot_f64"),
+      (args: Seq[Expression]) => VecDot(args.head, args(1))),
+    (new FunctionIdentifier("norm_f64"),
+      new ExpressionInfo(classOf[VecNorm].getName, "norm_f64"),
+      (args: Seq[Expression]) => VecNorm(args.head)),
     (new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (args: Seq[Expression]) => WordNgrams(args.head, intLit(args(1), "n"))),

@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.BinaryExpression
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /** Vector kernels for the IVF index: nearest-centroid assignment as a
   * native Catalyst expression — a narrow, codegen'd map whose centroid
@@ -82,6 +83,86 @@ object VectorKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Sequential-fold double dot product — EXACTLY the fold order of the
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` higher-order form it
+    * replaces (s += a(i)·b(i) left to right), so scores stay bit-identical
+    * to the DuckDB list_dot_product oracle; interpreted HOF lambdas box
+    * per element (~30µs/pair at dim 64), this is the ~0.1µs codegen'd
+    * kernel the verify paths already use for integers (dot_i64). Unequal
+    * lengths fold over the overlap (the HOF form yielded SQL NULL there —
+    * all producers emit fixed-dim vectors, so the case is degenerate
+    * either way).
+    */
+  def dotD(a: ArrayData, ak: Int, b: ArrayData, bk: Int): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    if (ak == KindLong && bk == KindLong) {
+      // long×long pairs multiply in LONG arithmetic with the cast at the
+      // fold — exactly the HOF's implicit typing (x*y long, + double), so
+      // the integer-embedding reference path is bit-unchanged
+      while (i < n) { s += (a.getLong(i) * b.getLong(i)).toDouble; i += 1 }
+    } else {
+      while (i < n) { s += elem(a, ak, i) * elem(b, bk, i); i += 1 }
+    }
+    s
+  }
+
+  private def elem(v: ArrayData, kind: Int, i: Int): Double = kind match {
+    case KindFloat => v.getFloat(i).toDouble
+    case KindLong => v.getLong(i).toDouble
+    case _ => v.getDouble(i)
+  }
+
+  def normD(v: ArrayData, kind: Int): Double =
+    math.sqrt(dotD(v, kind, v, kind))
+
+  val KindDouble = 0
+  val KindFloat = 1
+  val KindLong = 2
+
+  /** Element accessor selector, resolved once from the schema, not per
+    * row (double / float / long element kinds).
+    */
+  def elemKind(dt: DataType, what: String): Int = dt match {
+    case ArrayType(DoubleType, _) => KindDouble
+    case ArrayType(FloatType, _) => KindFloat
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => KindLong
+    case other => throw new IllegalArgumentException(
+      s"$what needs array<double|float|long>, got $other")
+  }
+}
+
+/** dot_f64(a, b): sequential-fold double dot product (see
+  * VectorKernels.dotD); accepts array<float> / array<double> on either side.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f64"
+  private lazy val lk = VectorKernels.elemKind(left.dataType, prettyName)
+  private lazy val rk = VectorKernels.elemKind(right.dataType, prettyName)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotD(a.asInstanceOf[ArrayData], lk, b.asInstanceOf[ArrayData], rk)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.dotD($a, $lk, $b, $rk);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDot = copy(left = newLeft, right = newRight)
+}
+
+/** norm_f64(v): L2 norm via the same sequential fold. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm_f64"
+  private lazy val kind = VectorKernels.elemKind(child.dataType, prettyName)
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.normD(input.asInstanceOf[ArrayData], kind)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.normD($c, $kind);")
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
 }
 
 /** nearest_centroid(vec): struct(cid int, dist double) in normalized space. */

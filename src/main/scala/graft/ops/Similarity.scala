@@ -13,20 +13,24 @@ import org.apache.spark.sql.functions._
   * pruning on the centroid column makes the probe a selective parquet read
   * at rest.
   *
-  * All arithmetic is sequential-fold double (`aggregate` over zip_with), so
-  * a DuckDB oracle using list_dot_product reproduces scores bit-for-bit.
+  * All arithmetic is sequential-fold double in native codegen'd kernels
+  * (dot_f64 / norm_f64 — same fold order as the higher-order
+  * aggregate-over-zip_with form they replaced), so a DuckDB oracle using
+  * list_dot_product reproduces scores bit-for-bit.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two float/double arrays. Native
+    * codegen'd kernel (VectorKernels.dotD) with EXACTLY the fold order of
+    * the `aggregate(zip_with(_*_), 0.0, _+_)` higher-order form it
+    * replaced, so every score stays bit-identical to the DuckDB
+    * list_dot_product oracle — the HOF lambdas were interpreted per
+    * element and dominated every cosine path's profile.
+    */
+  def dot(a: Column, b: Column): Column = call_function("dot_f64", a, b)
 
-  /** L2 norm of a float vector (cast to double first). */
-  def norm(v: Column): Column = {
-    val d = transform(v, x => x.cast("double"))
-    sqrt(dot(d, d))
-  }
+  /** L2 norm of a float/double vector — same native fold. */
+  def norm(v: Column): Column = call_function("norm_f64", v)
 
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
@@ -44,7 +48,7 @@ object Similarity {
     embs.where(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
       .select(
         col(idCol),
-        (dot(asDouble(col(vecCol)), q) / (norm(col(vecCol)) * lit(qn))).as("cosine"))
+        (dot(col(vecCol), q) / (norm(col(vecCol)) * lit(qn))).as("cosine"))
   }
 
   /** Brute-force cosine top-k for one query vector (excludes exact id match
@@ -91,7 +95,7 @@ object Similarity {
         queries.where(col(qvecCol).isNotNull && norm(col(qvecCol)) > 0)))
       .where(col(idCol) =!= col(qidCol))
       .withColumn("cosine",
-        dot(asDouble(col(vecCol)), asDouble(col(qvecCol))) /
+        dot(col(vecCol), col(qvecCol)) /
           (norm(col(vecCol)) * norm(col(qvecCol))))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
@@ -158,14 +162,18 @@ object Similarity {
     def cosineTo(candidates: DataFrame): DataFrame = candidates
       .where(col(idCol) =!= col(qidCol))
       .withColumn("cosine",
-        dot(asDouble(col(vecCol)), asDouble(col(qvecCol))) /
+        dot(col(vecCol), col(qvecCol)) /
           (norm(col(vecCol)) * norm(col(qvecCol))))
       .select(col(qidCol), col(idCol), col("cosine"))
 
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    // persisted: the probed-bucket candidates feed BOTH the δ_q aggregate
+    // and the final union — without the cache the probe explode + cid join
+    // + cosine re-run (same lifecycle contract as the other cached
+    // intermediates here: the session harness releases via clearCache)
     val cand1 = cosineTo(
       qd.select(col(qidCol), col(qvecCol), explode(col("_probed")).as("cid"))
-        .join(index, "cid"))
+        .join(index, "cid")).persist()
     // δ_q = kth-best cosine among the probed buckets (UNROUNDED), and how
     // many candidates they actually held — both per probe, one aggregation
     val stats = cand1.withColumn("rk", row_number().over(w))

@@ -115,6 +115,48 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("knnJoinBucketed == in-memory top-k model on random clustered corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5151)
+    for (round <- 0 until 3) {
+      // clustered Gaussian corpus (IVF's favorable regime) + pure-noise
+      // probes (its adversarial one) so both prune-heavy and expand-heavy
+      // probe plans occur; dims small → dense cosine ties near 0
+      val dim = 8
+      val nClusters = 3 + rnd.nextInt(3)
+      val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian() * 3))
+      val corpus = (0 until 120 + rnd.nextInt(80)).map { i =>
+        val c = centers(rnd.nextInt(nClusters))
+        (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat).toSeq)
+      }
+      val probes = (0 until 10).map(i =>
+        (1000L + i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      val k = 1 + rnd.nextInt(5)
+      val nlist = 2 + rnd.nextInt(6)
+      val nProbe = 1 + rnd.nextInt(2)
+      val got = graft.ops.Similarity.knnJoinBucketed(
+          corpus.toDF("vec_id", "embedding"),
+          probes.toDF("qid", "qvec"), k = k, nlist = nlist, nProbe = nProbe)
+        .select("qid", "vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // reference model: exact per-probe cosine ranking in plain Scala
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        dot / (na * nb)
+      }
+      val want = probes.flatMap { case (qid, qv) =>
+        corpus.map { case (id, v) => (id, cos(v, qv)) }
+          .sortBy { case (id, c) => (-c, id) }
+          .take(k).zipWithIndex
+          .map { case ((id, _), i) => (qid, id, i + 1) }
+      }.toSet
+      assert(got == want, s"round=$round k=$k nlist=$nlist nProbe=$nProbe")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("stratified sampling: monotone nesting across random rational rates") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rnd = new scala.util.Random(2026)
