@@ -90,9 +90,12 @@ object VectorKernels {
     * to the DuckDB list_dot_product oracle; interpreted HOF lambdas box
     * per element (~30µs/pair at dim 64), this is the ~0.1µs codegen'd
     * kernel the verify paths already use for integers (dot_i64). Unequal
-    * lengths fold over the overlap (the HOF form yielded SQL NULL there —
-    * all producers emit fixed-dim vectors, so the case is degenerate
-    * either way).
+    * lengths fold over the overlap, and NULL ELEMENTS inside a vector read
+    * as primitive garbage rather than poisoning the sum to SQL NULL the
+    * way the HOF form did — every producer here (parquet embeddings,
+    * hash_embed, transform-cast) emits fixed-dim, non-null elements, so
+    * both are contract violations, but callers ingesting foreign vectors
+    * must validate element nullability first.
     */
   def dotD(a: ArrayData, ak: Int, b: ArrayData, bk: Int): Double = {
     val n = math.min(a.numElements(), b.numElements())
