@@ -63,7 +63,10 @@ object SparkEntry {
     "q40_scrub" -> (Queries.q40Scrub _),
     "q41_knn_join" -> (Queries.q41KnnJoin _),
     "q42_curation" -> (Queries.q42Curation _),
-    "q43_knn_bucketed" -> (Queries.q43KnnBucketed _)
+    "q43_knn_bucketed" -> (Queries.q43KnnBucketed _),
+    "q44_pack_shards" -> (Queries.q44PackShards _),
+    "q45_mixture_balance" -> (Queries.q45MixtureBalance _),
+    "q46_source_overlap" -> (Queries.q46SourceOverlap _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -547,6 +550,59 @@ object SparkEntry {
         |        AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
         |      FROM s)
-        |SELECT qid, vec_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5""".stripMargin
+        |SELECT qid, vec_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5""".stripMargin,
+    // q44 mirror: same salted 60-bit writer hash (% on a positive BIGINT ==
+    // Spark's pmod), per-writer running token sum in doc_id order, shard =
+    // integer-floor of the doc's tape offset over the 1024 budget — all
+    // exact integer arithmetic, so the layout reproduces bit-for-bit.
+    "q44_pack_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |    ('0x' || substr(md5('w0:' || doc_id), 1, 15))::UBIGINT::BIGINT % 8 AS writer,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT writer, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY writer ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT writer, CAST((cum - n_tokens) // 1024 AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // q45 mirror: the exact integer mixture algebra — T = min over listed
+    // strata of n*den/num (integer floor), kept_s = T*num/den, threshold =
+    // floor(kept*2^60/n) computed in HUGEINT (the product overflows BIGINT),
+    // then the same salted md5 hash filter as q27/q35.
+    "q45_mixture_balance" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |        CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 3
+        |                    WHEN 'src2' THEN 2 ELSE 1 END AS num
+        |      FROM c WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |tt AS (SELECT min(n * 10 // num) AS t FROM w),
+        |thr AS (SELECT source,
+        |          CASE WHEN n = 0 THEN 0::HUGEINT
+        |               ELSE ((tt.t * num // 10)::HUGEINT
+        |                     * 1152921504606846976::HUGEINT) // n::HUGEINT
+        |          END AS thr
+        |        FROM w, tt)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE ('0x' || substr(md5('m0:' || d.doc_id), 1, 15))::UBIGINT::HUGEINT
+        |      < thr.thr""".stripMargin,
+    // q46 mirror: distinct (source, 8-gram) then a self-join on the gram
+    // TEXT with source_a < source_b. The operator joins on the 60-bit gram
+    // fingerprint instead — a collision would shift a count here and break
+    // the hash (same trade as q39, probability ~ grams^2/2^60).
+    "q46_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |        w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
+        |      FROM t, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 7)
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the steps BETWEEN curation (Dedup/
+  * TextAnalysis) and the training job: packing documents into token-budget
+  * shards, re-weighting sources to a target mixture, and measuring
+  * cross-source overlap. Like everything in `ops`, each operator is
+  * engine-neutral integer arithmetic over the same salted 60-bit md5 hash
+  * as `Dedup.hashSample`, so a DuckDB oracle replicates it bit-for-bit.
+  */
+object Corpus {
+
+  /** Deterministic writer-bucket assignment: content-addressed on the doc
+    * id (NOT partitioning- or run-dependent like `spark_partition_id`), so
+    * a re-run, a different cluster size, or a different input ordering
+    * produces the SAME shard layout — the property that makes training
+    * shards reproducible and resumable.
+    */
+  def writerBucket(id: Column, numWriters: Int, salt: String = "w0"): Column =
+    pmod(TextAnalysis.tokenHash60(concat(lit(salt), lit(":"), id.cast("string"))),
+      lit(numWriters.toLong))
+
+  /** Training-shard packing: assign every document to a (writer, shard)
+    * slot under a per-shard token budget — the GPT-style "concatenate then
+    * chunk" layout (each writer streams its documents in id order into a
+    * token tape; shard k holds tape offsets [k·budget, (k+1)·budget); a
+    * document lives in the shard containing its FIRST token, so a doc
+    * longer than the budget still gets exactly one slot).
+    *
+    * Scale: one narrow projection computes (writer, tokens) scan-side —
+    * the TEXT column never leaves the scan; the only shuffle moves
+    * (id, writer, tokens) — ~24 bytes/doc — to `numWriters` partitions,
+    * and the per-writer running sum is the packing requirement itself
+    * (a deterministic order within each writer). Size `numWriters` to the
+    * cluster: 10k writers over 100 TB puts ~10 GB of doc-metadata per
+    * writer through each sort, and writers are independent — the layout
+    * is identical at ANY parallelism because the bucket is content-
+    * addressed.
+    */
+  def packShards(docs: DataFrame, tokenBudget: Long, numWriters: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "w0"): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    require(numWriters > 0, s"numWriters must be positive, got $numWriters")
+    val w = Window.partitionBy(col("writer")).orderBy(col(idCol))
+    docs.select(col(idCol),
+        writerBucket(col(idCol), numWriters, salt).as("writer"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      // tape offset of the doc's first token within its writer; `div` keeps
+      // the shard index in exact long arithmetic (Spark's `/` on longs is a
+      // double divide — a float floor would drift from the integer oracle
+      // once offsets pass 2^53)
+      .withColumn("_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard", expr(s"_offset div ${tokenBudget}L"))
+      .drop("_offset")
+  }
+
+  /** Mixture balancing: compute per-stratum acceptance rates that reshape
+    * the corpus to TARGET proportions (relative weights as exact rationals)
+    * while keeping as much data as possible, then apply them through the
+    * deterministic content hash (`Dedup.stratifiedSample` semantics — this
+    * operator COMPUTES the rates that q35-style static mixing takes as
+    * input; the data-mixture step of corpus building, cf. GPT-3 §2.2 /
+    * The Pile §1's weighted source sampling, public).
+    *
+    * With stratum counts n_s and weights w_s = num_s/den_s, the largest
+    * total T satisfying T·w_s ≤ n_s for all listed strata is
+    * T = min_s ⌊n_s·den_s/num_s⌋; each stratum then keeps
+    * m_s = ⌊T·num_s/den_s⌋ ≤ n_s docs — i.e. the binding (most
+    * over-demanded) source is kept whole and every other source
+    * down-samples to match the target ratios. Strata not in `targets` are
+    * dropped (weight 0). All arithmetic is exact integers (BigInteger for
+    * the 2^60-scaled thresholds), so the kept set is reproducible
+    * bit-for-bit in any engine.
+    *
+    * Scale: one count aggregate collected to the driver — bounded by the
+    * number of STRATA (sources, ~tens), never rows — then a narrow
+    * content-hash filter identical to `hashSample`: no joins, no text
+    * shuffle, one corpus scan.
+    */
+  def balanceMixture(docs: DataFrame, strataCol: String,
+      targets: Map[String, (Long, Long)], salt: String = "m0",
+      idCol: String = "doc_id"): DataFrame = {
+    require(targets.nonEmpty, "balanceMixture: targets must be non-empty")
+    targets.foreach { case (s, (num, den)) =>
+      require(num > 0 && den > 0, s"weight for '$s' must be positive, got $num/$den") }
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = targets.map { case (s, _) => s -> counts.getOrElse(s, 0L) }
+    val total = targets.map { case (s, (num, den)) => n(s) * den / num }.min
+    val thresholds = targets.map { case (s, (num, den)) =>
+      val kept = total * num / den // ≤ n(s) by construction of `total`
+      val thr = if (n(s) == 0L) 0L
+        else java.math.BigInteger.valueOf(kept).shiftLeft(60)
+          .divide(java.math.BigInteger.valueOf(n(s))).longValueExact()
+      s -> thr
+    }
+    val thrCol = thresholds.toSeq.sortBy(_._1).foldRight(lit(-1L): Column) {
+      case ((s, thr), acc) => when(col(strataCol) === s, lit(thr)).otherwise(acc)
+    }
+    docs.where(TextAnalysis.tokenHash60(
+      concat(lit(salt), lit(":"), col(idCol).cast("string"))) < thrCol)
+  }
+
+  /** Cross-source n-gram overlap matrix: for every source pair, how many
+    * distinct word n-grams they share — the corpus-forensics report that
+    * finds mirrored / syndicated content BETWEEN sources before doc-level
+    * dedup runs within them (the cross-split cousin of `decontaminate`).
+    *
+    * Scale: grams explode scan-side and immediately collapse to distinct
+    * (source, gram-HASH) — after the projection the text never moves; the
+    * self-join shuffles 8-byte hashes keyed by gram, and the output is
+    * sources² rows (tiny). A 60-bit fingerprint stands in for the gram
+    * text (same trade as q39: a collision could over-count one shared
+    * gram, probability ~ distinct-grams²/2^60 — and the oracle joining on
+    * the gram TEXT would catch it).
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 8,
+      strataCol: String = "source", textCol: String = "text"): DataFrame = {
+    val g = docs.select(col(strataCol).as("s"),
+        explode(call_function("word_ngrams", col(textCol), lit(n))).as("gram"))
+      .select(col("s"), TextAnalysis.tokenHash60(col("gram")).as("h"))
+      .distinct()
+    g.as("a").join(g.as("b"), col("a.h") === col("b.h") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("source_a"), col("b.s").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

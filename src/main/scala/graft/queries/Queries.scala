@@ -462,6 +462,36 @@ object Queries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** q44: training-shard packing — documents assigned to (writer, shard)
+    * slots under a 1024-token budget across 8 content-addressed writers
+    * (the "concatenate then chunk" layout of GPT-style pretraining);
+    * reported as the per-shard fill so the whole layout is one compact
+    * oracle-checked table.
+    */
+  def q44PackShards(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Corpus.packShards(table(spark, sfDir, "documents"),
+        tokenBudget = 1024, numWriters = 8)
+      .groupBy(col("writer"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+
+  /** q45: mixture balancing — per-source acceptance rates COMPUTED from
+    * corpus counts to hit 4:3:2:1 target weights over src0..src3 (all other
+    * sources weight 0), applied through the deterministic content hash; the
+    * data-mixing step q35's static rates come from.
+    */
+  def q45MixtureBalance(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Corpus.balanceMixture(table(spark, sfDir, "documents"), "source",
+        Map("src0" -> ((4L, 10L)), "src1" -> ((3L, 10L)),
+          "src2" -> ((2L, 10L)), "src3" -> ((1L, 10L))))
+      .select(col("doc_id"), col("source"))
+
+  /** q46: cross-source 8-gram overlap matrix — distinct shared grams per
+    * source pair (corpus forensics for mirrored/syndicated content between
+    * sources).
+    */
+  def q46SourceOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Corpus.sourceOverlap(table(spark, sfDir, "documents"), n = 8)
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

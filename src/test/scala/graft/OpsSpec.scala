@@ -551,6 +551,79 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // independent reimplementation of TextAnalysis.tokenHash60 for the
+  // Corpus model checks (MessageDigest, not Spark expressions)
+  private def hash60(s: String): Long =
+    java.lang.Long.parseLong(graft.functions.HashingKernels.md5hex(s).substring(0, 15), 16)
+
+  test("packShards == per-writer cumulative model; layout is content-addressed") {
+    import graft.ops.Corpus
+    val budget = 1024L
+    val got = Corpus.packShards(docs, tokenBudget = budget, numWriters = 8)
+    // reference model: group by the md5 writer hash, cumulative token sum
+    // in id order, shard = integer floor of the doc's start offset
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+    val expect = rows.map { case (id, tk) => (hash60(s"w0:$id") % 8, id, tk) }
+      .groupBy(_._1).toSeq.flatMap { case (w, ds) =>
+        ds.sortBy(_._2).scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (_, id, tk)) =>
+          (id, w, tk, cum + tk)
+        }.drop(1).map { case (id, wr, tk, cum) => (id, wr, tk, (cum - tk) / budget) }
+      }
+    import spark.implicits._
+    assertSameRows(got, expect.toDF("doc_id", "writer", "n_tokens", "shard"),
+      "packShards vs model")
+    // content-addressed: input order and partitioning cannot move a doc
+    assertSameRows(
+      Corpus.packShards(docs.orderBy(rand(42)).repartition(7), budget, 8),
+      got, "repartition/shuffle-invariant layout")
+    // a doc longer than the budget still gets exactly one slot
+    assert(got.count() == docs.count())
+  }
+
+  test("balanceMixture == exact integer mixture model; unlisted strata dropped") {
+    import graft.ops.Corpus
+    val targets = Map("src0" -> ((4L, 10L)), "src1" -> ((3L, 10L)),
+      "src2" -> ((2L, 10L)), "src3" -> ((1L, 10L)))
+    val got = Corpus.balanceMixture(docs, "source", targets)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // model: exact integer algebra + md5 threshold per stratum
+    val bySource = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    val n = targets.map { case (s, _) => s -> bySource.get(s).map(_.length.toLong).getOrElse(0L) }
+    val total = targets.map { case (s, (num, den)) => n(s) * den / num }.min
+    val expect = targets.toSeq.flatMap { case (s, (num, den)) =>
+      val kept = total * num / den
+      val thr = if (n(s) == 0) 0L
+        else java.math.BigInteger.valueOf(kept).shiftLeft(60)
+          .divide(java.math.BigInteger.valueOf(n(s))).longValueExact()
+      bySource.getOrElse(s, Array.empty[(Long, String)])
+        .filter { case (id, _) => hash60(s"m0:$id") < thr }
+    }.toSet
+    assert(got == expect, s"mixture kept set: got ${got.size}, want ${expect.size}")
+    assert(got.forall { case (_, s) => targets.contains(s) }, "weight-0 strata must drop")
+    assert(got.nonEmpty)
+  }
+
+  test("sourceOverlap == brute-force pairwise gram-set intersection") {
+    import graft.ops.Corpus
+    val got = Corpus.sourceOverlap(docs, n = 8).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val gramsBySource = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ")))
+      .groupBy(_._1)
+      .map { case (s, ds) =>
+        s -> ds.flatMap(_._2.sliding(8).filter(_.length == 8).map(_.mkString(" "))).toSet
+      }
+    val expect = (for {
+      a <- gramsBySource.keys; b <- gramsBySource.keys if a < b
+      shared = (gramsBySource(a) & gramsBySource(b)).size if shared > 0
+    } yield ((a, b), shared.toLong)).toMap
+    assert(got == expect, s"overlap matrix: got ${got.size} pairs, want ${expect.size}")
+    assert(got.nonEmpty, "fixture has planted cross-source dups — matrix must be non-empty")
+  }
+
   test("multimodal: deterministic features, fixed dim, partition-local") {
     val media = Multimodal.mediaFromDocuments(docs)
     val f1 = Multimodal.extractFeatures(media).toDF()

@@ -160,6 +160,36 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q44: packing shuffles doc metadata only — text never in an exchange") {
+    val p = plan(Queries.q44PackShards(spark, sf))
+    // the writer/token projection is scan-side; the per-writer sort and
+    // the fill aggregate move (doc_id, writer, n_tokens) — at 100 TB the
+    // exchanges carry ~24 bytes/doc, never the corpus text
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!bad, "no shuffle of document text:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p.take(600))
+  }
+
+  test("q45: mixture balancing is a narrow content-hash filter — no shuffle, no join") {
+    val p = plan(Queries.q45MixtureBalance(spark, sf))
+    // rates resolve to literal thresholds at plan time (the count aggregate
+    // is a separate strata-bounded job); the applied filter is q27/q35-
+    // shaped: one scan, zero exchanges
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "balanced sample must stay narrow:\n" + p.take(800))
+  }
+
+  test("q46: overlap matrix shuffles 8-byte gram hashes — gram text never in an exchange") {
+    val p = plan(Queries.q46SourceOverlap(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("text#") || l.contains("gram#")))
+    assert(!bad, "no shuffle of gram/document text:\n" + p.take(800))
+  }
+
   test("q42: curation pipeline joins move ids only — text never in an exchange") {
     val p = plan(Queries.q42Curation(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
