@@ -66,7 +66,10 @@ object SparkEntry {
     "q43_knn_bucketed" -> (Queries.q43KnnBucketed _),
     "q44_pack_shards" -> (Queries.q44PackShards _),
     "q45_mixture_balance" -> (Queries.q45MixtureBalance _),
-    "q46_source_overlap" -> (Queries.q46SourceOverlap _)
+    "q46_source_overlap" -> (Queries.q46SourceOverlap _),
+    "q47_bestrep_dedup" -> (Queries.q47BestRepDedup _),
+    "q48_length_outliers" -> (Queries.q48LengthOutliers _),
+    "q49_token_budget" -> (Queries.q49TokenBudget _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -603,6 +606,60 @@ object SparkEntry {
         |      WHERE i <= len(w) - 7)
         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
         |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // q47 mirror: q26's recursive component closure, then per-cluster
+    // argmax of the ROUNDED quality (ties → lowest id — rank-stable
+    // cross-engine, the q31 convention), singletons pass through.
+    "q47_bestrep_dedup" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |      FROM t, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 2),
+        |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT id1, id2 FROM c
+        |      JOIN n n1 ON c.id1 = n1.doc_id JOIN n n2 ON c.id2 = n2.doc_id
+        |      WHERE inter * 1.0 / (n1.ng + n2.ng - inter) >= 0.6),
+        |e AS (SELECT id1 AS s, id2 AS d FROM p UNION SELECT id2, id1 FROM p),
+        |r(s, d) AS (SELECT s, d FROM e
+        |            UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+        |cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster FROM r GROUP BY s),
+        |ql AS (SELECT doc_id, round($qualityExpr, 4) AS q FROM t),
+        |reps AS (SELECT doc_id FROM (
+        |          SELECT cl.doc_id, row_number() OVER (
+        |            PARTITION BY cluster ORDER BY q DESC, cl.doc_id) AS rn
+        |          FROM cl JOIN ql USING (doc_id)) WHERE rn = 1)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM reps)
+        |   OR d.doc_id NOT IN (SELECT doc_id FROM cl)""".stripMargin,
+    // q48 mirror: the same exact cross-multiplied z-test — (nx − S)² >
+    // k²(nQ − S²) — in HUGEINT (the operator uses decimal(38,0); both are
+    // exact integers, so the flag sets are identical).
+    "q48_length_outliers" ->
+      """WITH x AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_tokens) AS BIGINT) AS s1,
+        |    CAST(sum(n_tokens * n_tokens) AS BIGINT) AS s2
+        |  FROM x GROUP BY source)
+        |SELECT doc_id, x.source, n_tokens
+        |FROM x JOIN s ON x.source = s.source
+        |WHERE (n * n_tokens - s1)::HUGEINT * (n * n_tokens - s1)::HUGEINT
+        |      > 4::HUGEINT * (n * s2 - s1 * s1)::HUGEINT""".stripMargin,
+    // q49 mirror: the DEFINITION — global (hash, id) sort, inclusive
+    // running token sum, keep while ≤ budget. The operator's two-pass bin
+    // threshold must equal this exactly at any scale.
+    "q49_token_budget" ->
+      """WITH x AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5('b0:' || doc_id), 1, 15))::UBIGINT::BIGINT AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |  FROM documents),
+        |c AS (SELECT *, sum(tk) OVER (ORDER BY h, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM x)
+        |SELECT doc_id, source FROM c WHERE cum <= 15000""".stripMargin
   )
 }

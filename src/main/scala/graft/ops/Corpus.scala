@@ -105,6 +105,58 @@ object Corpus {
       concat(lit(salt), lit(":"), col(idCol).cast("string"))) < thrCol)
   }
 
+  /** Token-budget subsampling: the deterministic prefix of the corpus in
+    * content-hash order whose cumulative token count stays ≤ `budget` —
+    * "give me reproducibly ~10B tokens of this corpus" (the sizing step of
+    * every training run; hash order makes the subset independent of
+    * partitioning AND monotone: a bigger budget only ADDS documents).
+    *
+    * Semantically: sort by (hash60(salt:id), id), keep while the running
+    * token total (inclusive) fits the budget. A 100 TB corpus cannot
+    * global-sort for a prefix scan, so the implementation is two passes,
+    * neither of which sorts the corpus:
+    *   1. bucket the hash space into 2^binBits bins (default 65k); ONE
+    *      aggregate gives per-bin token sums (bin-many rows to the
+    *      driver); a prefix scan over bins finds the boundary bin where
+    *      the budget crosses;
+    *   2. keep every doc in bins BELOW the boundary with a narrow filter;
+    *      docs IN the boundary bin (~corpus/65k of the data) alone pay a
+    *      hash-ordered running sum — a window over one bin-sized group.
+    * The result equals the global-sort definition exactly (the oracle IS
+    * the global-sort definition).
+    */
+  def tokenBudgetSample(docs: DataFrame, budget: Long, salt: String = "b0",
+      binBits: Int = 16, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(binBits >= 1 && binBits <= 30, s"binBits must be in [1,30], got $binBits")
+    val h = TextAnalysis.tokenHash60(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val withH = docs.withColumn("_h", h)
+      .withColumn("_bin", shiftright(col("_h"), 60 - binBits))
+      .withColumn("_tk", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    val binSums = withH.groupBy(col("_bin"))
+      .agg(sum(col("_tk")).as("tk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // prefix over ≤ 2^16 driver rows: first bin whose cumulative total
+    // exceeds the budget; bins before it are kept whole
+    var acc = 0L
+    var boundary = -1L
+    var before = 0L
+    binSums.foreach { case (bin, tk) =>
+      if (boundary < 0) {
+        if (acc + tk > budget) { boundary = bin; before = acc }
+        else acc += tk
+      }
+    }
+    if (boundary < 0) return docs // whole corpus fits the budget
+    val w = Window.orderBy(col("_h"), col(idCol))
+    val boundaryKeep = withH.where(col("_bin") === boundary)
+      .withColumn("_cum", sum(col("_tk")).over(w))
+      .where(col("_cum") <= budget - before)
+    withH.where(col("_bin") < boundary).unionByName(boundaryKeep.drop("_cum"))
+      .drop("_h", "_bin", "_tk")
+  }
+
   /** Cross-source n-gram overlap matrix: for every source pair, how many
     * distinct word n-grams they share — the corpus-forensics report that
     * finds mirrored / syndicated content BETWEEN sources before doc-level

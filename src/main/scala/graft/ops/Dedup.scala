@@ -324,6 +324,36 @@ object Dedup {
     }
   }
 
+  /** Representative selection by SCORE: the ids to KEEP after near-dup
+    * dedup when the policy is "keep the best copy" rather than
+    * `dedupClusters`' keep-min-id — per connected component of `pairs`,
+    * the member maximizing `score` (ties → lowest id) survives, plus every
+    * doc in no component. Keep-min-id discards a well-formed original
+    * whenever a lower id holds the mangled scrape of it; scoring the
+    * representative is what production dedup actually runs (quality,
+    * length, or source-priority as the score).
+    *
+    * Scale: the score computes SCAN-SIDE on the narrow (id, score)
+    * projection — text never enters a shuffle; cluster labels come from
+    * the bounded `dedupClusters`; the argmax is one window over the
+    * cluster key (components are near-dup-sized, so no skewed partition);
+    * the result is an id set for `left_semi` composition (q42's id-only
+    * join algebra).
+    */
+  def bestRepresentatives(docs: DataFrame, pairs: DataFrame, score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val clusters = dedupClusters(pairs) // (doc_id, cluster)
+    val scored = docs.select(col(idCol).cast("long").as("doc_id"), score.as("_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("_score").desc, col("doc_id"))
+    val reps = clusters.join(scored, "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).select(col("doc_id"))
+    scored.select(col("doc_id"))
+      .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+      .union(reps)
+  }
+
   /** Deterministic content-hash sampling: keep a row iff the md5-derived
     * 60-bit uniform of (salt, id) falls under `rate`. No RNG state, so the
     * SAME rows are selected on any engine, any partitioning, any run — the

@@ -188,6 +188,41 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"))
   }
 
+  /** Per-stratum length-outlier detection in EXACT integer arithmetic:
+    * flag documents whose token count deviates more than `k` population
+    * standard deviations from their stratum mean. The z-test
+    * |x − μ| > k·σ with μ = S/n, σ² = (nQ − S²)/n² cross-multiplies to
+    * (nx − S)² > k²(nQ − S²) — all integers, so the flag set reproduces
+    * bit-for-bit in any engine with NO float mean/std (a float z-score at
+    * a boundary could flip cross-engine). The anomaly-gate step of corpus
+    * intake: truncated scrapes and concatenation blowups sit in exactly
+    * these tails.
+    *
+    * Scale: one (stratum)-keyed aggregate (map-side partials, strata-many
+    * rows) broadcast back over the narrow (id, stratum, tokens)
+    * projection — text never shuffles, one corpus scan. The squares run in
+    * decimal(38,0): at corpus scale n·x reaches ~10¹² and its square
+    * overflows a long; decimal keeps the comparison exact (DuckDB mirrors
+    * in HUGEINT).
+    */
+  def lengthOutliers(docs: DataFrame, strataCol: String = "source", k: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val x = docs.select(col(idCol), col(strataCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val stats = x.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n"), sum(col("n_tokens")).as("s1"),
+      sum(col("n_tokens") * col("n_tokens")).as("s2"))
+    // cast BEFORE multiplying: n·s2 alone reaches ~10²⁴ at corpus scale —
+    // a long product would wrap before the decimal cast could save it
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val dev = dec(col("n")) * dec(col("n_tokens")) - dec(col("s1"))
+    val variance = dec(col("n")) * dec(col("s2")) - dec(col("s1")) * dec(col("s1"))
+    x.join(broadcast(stats), strataCol)
+      .where(dev * dev > lit(k.toLong * k) * variance)
+      .select(col(idCol), col(strataCol), col("n_tokens"))
+  }
+
   /** Convenience projection of all per-document text features. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -492,6 +492,37 @@ object Queries {
   def q46SourceOverlap(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Corpus.sourceOverlap(table(spark, sfDir, "documents"), n = 8)
 
+  /** q47: keep-best dedup — the survivor set when each near-dup cluster
+    * (q26's components) keeps its highest-QUALITY member instead of its
+    * min id; singletons survive unchanged. The representative policy
+    * production dedup actually wants.
+    */
+  def q47BestRepDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val keep = graft.ops.Dedup.bestRepresentatives(docs,
+      graft.ops.Dedup.minhashLshPairs(docs, n = 3, threshold = 0.6),
+      graft.ops.TextAnalysis.qualityScore(col("text")))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** q48: per-source length outliers — documents beyond 2 population
+    * standard deviations from their source's mean token count, flagged in
+    * exact integer arithmetic (no float z-scores).
+    */
+  def q48LengthOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextAnalysis.lengthOutliers(table(spark, sfDir, "documents"),
+      strataCol = "source", k = 2)
+
+  /** q49: token-budget subsample — the deterministic hash-order corpus
+    * prefix holding ≤ 15000 tokens (two-pass bin threshold, no global
+    * sort; the oracle IS the global-sort definition).
+    */
+  def q49TokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Corpus.tokenBudgetSample(table(spark, sfDir, "documents"),
+        budget = 15000L)
+      .select(col("doc_id"), col("source"))
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

@@ -624,6 +624,90 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has planted cross-source dups — matrix must be non-empty")
   }
 
+  test("bestRepresentatives: keep-best survivor per cluster, singletons pass") {
+    import spark.implicits._
+    // two near-dup clusters with known best members + two singletons;
+    // score = token count, so "best" is unambiguous and engine-trivial
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"), // best of {10,11}
+      (20L, "one two three four five six seven"),
+      (21L, "one two three four five six seven eight nine"),  // best of {20,21,22}
+      (22L, "one two three four five six"),
+      (30L, "lonely single document here"),
+      (31L, "another isolated text entirely different")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L), (20L, 21L), (21L, 22L)).toDF("id1", "id2")
+    val keep = Dedup.bestRepresentatives(corpus, pairs,
+        TextAnalysis.tokenCount(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(keep == Set(11L, 21L, 30L, 31L))
+    // fixture invariant: exactly one survivor per cluster, and it is the
+    // cluster's (rounded-quality, -id) argmax
+    val fpairs = Dedup.minhashLshPairs(docs, n = 3, threshold = 0.6)
+    val clusters = Dedup.dedupClusters(fpairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qual = docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kept = Dedup.bestRepresentatives(docs, fpairs,
+        TextAnalysis.qualityScore(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    val expect = clusters.groupBy(_._2).values.map(ms =>
+      ms.keys.minBy(id => (-qual(id), id))).toSet ++
+      (qual.keySet -- clusters.keySet)
+    assert(kept == expect, s"got ${kept.size}, want ${expect.size}")
+  }
+
+  test("lengthOutliers == exact BigInt z-test model; uniform stratum flags nothing") {
+    import spark.implicits._
+    val got = TextAnalysis.lengthOutliers(docs, "source", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val rows = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").length.toLong))
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val n = BigInt(ds.length); val s1 = ds.map(d => BigInt(d._3)).sum
+      val s2 = ds.map(d => BigInt(d._3) * BigInt(d._3)).sum
+      ds.filter { case (_, _, x) =>
+        val dev = n * BigInt(x) - s1
+        dev * dev > 4 * (n * s2 - s1 * s1)
+      }
+    }.toSet
+    assert(got == expect, s"outliers: got ${got.size}, want ${expect.size}")
+    assert(got.nonEmpty, "fixture length spread must produce some 2-sigma tails")
+    // all-equal stratum: variance 0, deviation 0 — strictly-greater flags none
+    val uni = (0 until 50).map(i => (i.toLong, "u", "a b c d e")).toDF("doc_id", "source", "text")
+    assert(TextAnalysis.lengthOutliers(uni, "source", k = 2).count() == 0)
+  }
+
+  test("tokenBudgetSample == global-sort prefix model; monotone in budget") {
+    import graft.ops.Corpus
+    // reference: global (hash, id) order, inclusive cumulative token sum
+    def model(budget: Long): Set[Long] = {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+        .map { case (id, tk) => (hash60(s"b0:$id"), id, tk) }
+        .sortBy(t => (t._1, t._2))
+      var acc = 0L
+      rows.takeWhile { case (_, _, tk) => acc += tk; acc <= budget }
+        .map(_._2).toSet
+    }
+    // binBits=3 forces many docs per bin, so the boundary-bin window and
+    // the whole-bin fast path are BOTH exercised (at the 2^16 default this
+    // fixture has ≤1 doc/bin and the boundary logic would be trivial)
+    for (budget <- Seq(0L, 1000L, 15000L, 10000000L); bits <- Seq(3, 16)) {
+      val got = Corpus.tokenBudgetSample(docs, budget, binBits = bits)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == model(budget), s"budget=$budget bits=$bits: got ${got.size}")
+    }
+    // monotone: a bigger budget only adds documents
+    val small = Corpus.tokenBudgetSample(docs, 5000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Corpus.tokenBudgetSample(docs, 20000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    assert(small.nonEmpty && big.size > small.size)
+  }
+
   test("multimodal: deterministic features, fixed dim, partition-local") {
     val media = Multimodal.mediaFromDocuments(docs)
     val f1 = Multimodal.extractFeatures(media).toDF()

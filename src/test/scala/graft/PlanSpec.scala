@@ -190,6 +190,35 @@ class PlanSpec extends SparkSpec {
     assert(!bad, "no shuffle of gram/document text:\n" + p.take(800))
   }
 
+  test("q47: keep-best dedup — text never in an exchange, survivors via semi-join") {
+    val p = plan(Queries.q47BestRepDedup(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!bad, "no shuffle of document text:\n" + p.take(800))
+    spark.catalog.clearCache()
+  }
+
+  test("q48: outlier stats broadcast back — one scan, no text shuffle") {
+    val p = plan(Queries.q48LengthOutliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "strata stats must broadcast:\n" + p.take(800))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!bad, "no shuffle of document text:\n" + p.take(800))
+  }
+
+  test("q49: budget prefix — whole-bin fast path is narrow; no hash shuffle of text") {
+    val p = plan(Queries.q49TokenBudget(spark, sf))
+    // the kept-whole bins are a pure filter; only the ONE boundary bin
+    // (corpus/2^binBits of the data) rides the single-partition running
+    // sum — no hash exchange may carry text, and no join is needed
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!bad, "no hash shuffle of document text:\n" + p.take(800))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("q42: curation pipeline joins move ids only — text never in an exchange") {
     val p = plan(Queries.q42Curation(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
