@@ -69,7 +69,8 @@ object SparkEntry {
     "q46_source_overlap" -> (Queries.q46SourceOverlap _),
     "q47_bestrep_dedup" -> (Queries.q47BestRepDedup _),
     "q48_length_outliers" -> (Queries.q48LengthOutliers _),
-    "q49_token_budget" -> (Queries.q49TokenBudget _)
+    "q49_token_budget" -> (Queries.q49TokenBudget _),
+    "q50_incremental_dedup" -> (Queries.q50IncrementalDedup _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -660,6 +661,35 @@ object SparkEntry {
         |  FROM documents),
         |c AS (SELECT *, sum(tk) OVER (ORDER BY h, doc_id
         |        ROWS UNBOUNDED PRECEDING) AS cum FROM x)
-        |SELECT doc_id, source FROM c WHERE cum <= 15000""".stripMargin
+        |SELECT doc_id, source FROM c WHERE cum <= 15000""".stripMargin,
+    // q50 mirror: cross-set exact (text equality) + 3-gram jaccard vs the
+    // corpus slice, on gram TEXT (the operator joins 60-bit fingerprints —
+    // same q39/q46 collision trade).
+    "q50_incremental_dedup" ->
+      """WITH nw AS (SELECT doc_id, string_split(text, ' ') AS w, text
+        |           FROM documents WHERE doc_id % 10 = 3),
+        |old AS (SELECT doc_id, string_split(text, ' ') AS w, text
+        |        FROM documents WHERE doc_id % 10 <> 3),
+        |ex AS (SELECT DISTINCT nw.doc_id FROM nw
+        |       JOIN (SELECT DISTINCT text FROM old) o ON nw.text = o.text),
+        |gn AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |       FROM nw, (SELECT unnest(generate_series(1,
+        |              (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |       WHERE i <= len(w) - 2),
+        |go AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |       FROM old, (SELECT unnest(generate_series(1,
+        |              (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |       WHERE i <= len(w) - 2),
+        |nn AS (SELECT doc_id, count(*) AS ng FROM gn GROUP BY doc_id),
+        |no_ AS (SELECT doc_id, count(*) AS ng FROM go GROUP BY doc_id),
+        |near AS (SELECT DISTINCT c.nid FROM (
+        |           SELECT gn.doc_id AS nid, go.doc_id AS oid, count(*) AS inter
+        |           FROM gn JOIN go ON gn.gram = go.gram GROUP BY 1, 2) c
+        |         JOIN nn ON c.nid = nn.doc_id JOIN no_ ON c.oid = no_.doc_id
+        |         WHERE inter * 1.0 / (nn.ng + no_.ng - inter) >= 0.6)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id % 10 = 3
+        |  AND doc_id NOT IN (SELECT doc_id FROM ex)
+        |  AND doc_id NOT IN (SELECT nid FROM near)""".stripMargin
   )
 }

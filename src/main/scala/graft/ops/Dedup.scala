@@ -324,6 +324,49 @@ object Dedup {
     }
   }
 
+  /** Incremental dedup — the shape a DAILY pipeline actually runs: dedup a
+    * NEW batch against the EXISTING corpus (not all-pairs over the union).
+    * A new doc is dropped when (a) its exact text already exists in the
+    * corpus, or (b) it shares ≥ `threshold` n-gram jaccard with ANY corpus
+    * doc. Within-batch duplicates are left to the all-pairs operators
+    * (q10/q12) — this is the cross-set stage, scoped so the corpus side
+    * can be a PRECOMPUTED gram index table at 100 TB (recompute here keeps
+    * the operator self-contained).
+    *
+    * Scale: both stages shuffle 8-byte keys only — the exact stage
+    * anti-joins on a scan-side md5, the near stage equi-joins the new
+    * batch's gram fingerprints against the corpus's inverted index
+    * (gram-hash keyed; a 60-bit collision could at most add one phantom
+    * shared gram to a pair — the q39 trade, and the oracle joining gram
+    * TEXT would catch it). Gram-set sizes join back as id-only
+    * aggregates; text never enters an exchange. The batch side is
+    * day-sized, the corpus side corpus-sized — the join asymmetry the
+    * all-pairs operators don't have.
+    */
+  def incrementalDedupIds(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
+      threshold: Double = 0.6, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val newHash = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
+    val corpusHash = corpus.select(md5(col(textCol)).as("h")).distinct()
+    val exactSurvivors = newHash.join(corpusHash, Seq("h"), "left_anti")
+      .select(col("id"))
+    // grams() is already distinct-per-doc, so the hashed streams are too
+    // (a within-doc hash collision would need ~2^30 grams in one doc)
+    val gNew = grams(newDocs, n, idCol, textCol)
+      .select(col("id"), graft.ops.TextAnalysis.tokenHash60(col("gram")).as("g"))
+    val gOld = grams(corpus, n, idCol, textCol)
+      .select(col("id").as("oid"), graft.ops.TextAnalysis.tokenHash60(col("gram")).as("g"))
+    val nNew = gNew.groupBy(col("id")).agg(count(lit(1)).as("ngA"))
+    val nOld = gOld.groupBy(col("oid")).agg(count(lit(1)).as("ngB"))
+    val inter = gNew.join(gOld, "g")
+      .groupBy(col("id"), col("oid")).agg(count(lit(1)).as("inter"))
+    val nearHits = inter.join(nNew, "id").join(nOld, "oid")
+      .where(col("inter") / (col("ngA") + col("ngB") - col("inter")) >= threshold)
+      .select(col("id")).distinct()
+    exactSurvivors.join(nearHits, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+  }
+
   /** Representative selection by SCORE: the ids to KEEP after near-dup
     * dedup when the policy is "keep the best copy" rather than
     * `dedupClusters`' keep-min-id — per connected component of `pairs`,

@@ -523,6 +523,21 @@ object Queries {
         budget = 15000L)
       .select(col("doc_id"), col("source"))
 
+  /** q50: incremental dedup — the docs of a "new batch" (doc_id ≡ 3 mod
+    * 10) that survive exact + 3-gram-jaccard dedup against the existing
+    * corpus (all other docs); the daily-ingest stage of a production
+    * pipeline, with the new/old join asymmetry the all-pairs operators
+    * don't have.
+    */
+  def q50IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val nw = docs.where(col("doc_id") % 10 === 3)
+    val old = docs.where(col("doc_id") % 10 =!= 3)
+    nw.join(graft.ops.Dedup.incrementalDedupIds(nw, old, n = 3, threshold = 0.6),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"))
+  }
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

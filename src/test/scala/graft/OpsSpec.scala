@@ -708,6 +708,45 @@ class OpsSpec extends SparkSpec {
     assert(small.nonEmpty && big.size > small.size)
   }
 
+  test("incrementalDedupIds == cross-set brute-force model; exact and near stages both fire") {
+    import spark.implicits._
+    // synthetic: new batch holds an exact dup, a near-dup, and a fresh doc
+    val corpus0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus content about spark plans")
+    ).toDF("doc_id", "text")
+    val batch0 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog today"),   // near-dup of 1
+      (12L, "entirely novel text with no overlap whatsoever here")  // fresh
+    ).toDF("doc_id", "text")
+    val kept0 = Dedup.incrementalDedupIds(batch0, corpus0, n = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept0 == Set(12L))
+    // fixture invariant vs a brute-force cross-set model
+    val nw = docs.where(col("doc_id") % 10 === 3)
+    val old = docs.where(col("doc_id") % 10 =!= 3)
+    def gramSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[String]] =
+      df.select("doc_id", "text").collect().map { r =>
+        r.getLong(0) -> r.getString(1).split(" ").sliding(3)
+          .filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+    val (gn, go) = (gramSets(nw), gramSets(old))
+    val oldTexts = old.select("text").collect().map(_.getString(0)).toSet
+    val newTexts = nw.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = gn.keySet.filter { id =>
+      !oldTexts.contains(newTexts(id)) &&
+        !go.values.exists { og =>
+          val inter = (gn(id) & og).size
+          inter.toDouble / (gn(id).size + og.size - inter) >= 0.6
+        }
+    }
+    val got = Dedup.incrementalDedupIds(nw, old).collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"incremental survivors: got ${got.size}, want ${expect.size}")
+    assert(got.size < gn.size, "fixture's planted dups must drop some new docs")
+  }
+
   test("multimodal: deterministic features, fixed dim, partition-local") {
     val media = Multimodal.mediaFromDocuments(docs)
     val f1 = Multimodal.extractFeatures(media).toDF()

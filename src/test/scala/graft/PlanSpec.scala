@@ -219,6 +219,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("q50: incremental dedup — md5/gram-hash exchanges only, no text shuffle") {
+    val p = plan(Queries.q50IncrementalDedup(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("text#") || l.contains("gram#")))
+    assert(!bad, "no shuffle of document/gram text:\n" + p.take(800))
+  }
+
   test("q42: curation pipeline joins move ids only — text never in an exchange") {
     val p = plan(Queries.q42Curation(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
