@@ -70,7 +70,8 @@ object SparkEntry {
     "q47_bestrep_dedup" -> (Queries.q47BestRepDedup _),
     "q48_length_outliers" -> (Queries.q48LengthOutliers _),
     "q49_token_budget" -> (Queries.q49TokenBudget _),
-    "q50_incremental_dedup" -> (Queries.q50IncrementalDedup _)
+    "q50_incremental_dedup" -> (Queries.q50IncrementalDedup _),
+    "q51_centroid_classify" -> (Queries.q51CentroidClassify _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -690,6 +691,37 @@ object SparkEntry {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id % 10 = 3
         |  AND doc_id NOT IN (SELECT doc_id FROM ex)
-        |  AND doc_id NOT IN (SELECT nid FROM near)""".stripMargin
+        |  AND doc_id NOT IN (SELECT nid FROM near)""".stripMargin,
+    // q51 mirror: the same sparse hashed-embedding projection as q22's
+    // mirror (t/g/gd/sp), then exact-integer per-source centroids and
+    // per-(doc, source) dots; argmax orders by the ROUNDED projection
+    // score (round agrees bit-for-bit cross-engine — q22/q25 precedent)
+    // with source as tiebreak.
+    "q51_centroid_classify" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |      FROM t, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 2),
+        |gd AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 256 AS BIGINT) AS dim,
+        |         CASE WHEN ('0x' || substr(md5(gram), 9, 1))::UBIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |       FROM g),
+        |sp AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS v
+        |       FROM gd GROUP BY 1, 2 HAVING SUM(sgn) <> 0),
+        |cent AS (SELECT d.source AS s, sp.dim, CAST(SUM(sp.v) AS BIGINT) AS c
+        |         FROM sp JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |cn AS (SELECT s, CAST(SUM(c*c) AS BIGINT) AS cn2 FROM cent GROUP BY s),
+        |dots AS (SELECT sp.doc_id, cent.s, CAST(SUM(sp.v * cent.c) AS BIGINT) AS dot
+        |         FROM sp JOIN cent ON sp.dim = cent.dim GROUP BY 1, 2),
+        |scored AS (SELECT doc_id, s, round(dot / sqrt(cn2), 4) AS score
+        |           FROM dots JOIN cn USING (s)),
+        |best AS (SELECT doc_id, s AS pred FROM (
+        |           SELECT *, row_number() OVER (
+        |             PARTITION BY doc_id ORDER BY score DESC, s) AS rn
+        |           FROM scored) WHERE rn = 1)
+        |SELECT d.source, b.pred, count(*) AS n
+        |FROM best b JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -157,6 +157,50 @@ object Corpus {
       .drop("_h", "_bin", "_tk")
   }
 
+  /** Nearest-centroid classification over hashed n-gram embeddings: each
+    * document is assigned to the stratum whose embedding CENTROID it
+    * projects onto most strongly — the cheap semantic-routing /
+    * source-attribution primitive (which source does this doc READ like?),
+    * and the integer-exact stand-in for embedding-model classification.
+    *
+    * Mechanics: per-stratum centroid = elementwise sum of the sparse
+    * integer `hash_embed` vectors (EXACT integers — no float mean);
+    * per-(doc, stratum) scores are integer dots, scaled only at the end by
+    * the centroid norm (score = dot/√|C|² — the doc's own norm is constant
+    * across strata so argmax is unaffected but the emitted score stays
+    * q22-convention comparable); argmax ties break on stratum name. Docs
+    * whose embedding is all-zero (< n tokens) are unclassifiable and
+    * dropped, like every hashed-embedding operator here.
+    *
+    * Scale: the sparse explode is narrow; centroids are (strata × dims)
+    * rows — broadcast back; scores shuffle (id, stratum, partial-dot)
+    * with map-side combine; never a row wider than a few longs. One
+    * corpus scan for centroids, one for scores (cache the sparse
+    * projection to make it one).
+    */
+  def centroidClassify(docs: DataFrame, strataCol: String = "source",
+      dims: Int = 256, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val emb = Dedup.hashedEmbeddings(docs, dims, n, idCol, textCol)
+    // both branches (centroids, scores) consume the sparse projection —
+    // cached, the corpus text is read and hashed ONCE (the q11/q12 gram-
+    // index convention; callers release via spark.catalog.clearCache)
+    val sp = emb.select(col("id"), posexplode(col("v")))
+      .toDF("id", "dim", "x").where(col("x") =!= 0).cache()
+    val lab = docs.select(col(idCol).as("id"), col(strataCol).as("s"))
+    val cent = sp.join(lab, "id")
+      .groupBy(col("s"), col("dim")).agg(sum(col("x")).as("c"))
+    val cn = cent.groupBy(col("s")).agg(sum(col("c") * col("c")).as("cn2"))
+    val dots = sp.join(broadcast(cent), "dim")
+      .groupBy(col("id"), col("s")).agg(sum(col("x") * col("c")).as("dot"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("s"))
+    dots.join(broadcast(cn), "s")
+      .withColumn("score", round(col("dot") / sqrt(col("cn2")), 4))
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("id").as(idCol), col("s").as("pred"), col("score"))
+  }
+
   /** Cross-source n-gram overlap matrix: for every source pair, how many
     * distinct word n-grams they share — the corpus-forensics report that
     * finds mirrored / syndicated content BETWEEN sources before doc-level

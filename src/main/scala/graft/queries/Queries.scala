@@ -538,6 +538,17 @@ object Queries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** q51: centroid classification report — confusion matrix of actual
+    * source vs nearest-embedding-centroid prediction (integer-exact
+    * centroids and dots; the semantic source-attribution primitive).
+    */
+  def q51CentroidClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    graft.ops.Corpus.centroidClassify(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("pred")).agg(count(lit(1)).as("n"))
+  }
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

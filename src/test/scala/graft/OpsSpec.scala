@@ -747,6 +747,49 @@ class OpsSpec extends SparkSpec {
     assert(got.size < gn.size, "fixture's planted dups must drop some new docs")
   }
 
+  test("centroidClassify == independent md5 sparse-vector model") {
+    import graft.ops.Corpus
+    import graft.functions.HashingKernels
+    val got = Corpus.centroidClassify(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // model: sparse hash-embed per doc (md5 hex: chars 0-7 → dim, char 8
+    // parity → sign), exact integer centroids per source, argmax of
+    // round(dot/√|C|², 4) with source tiebreak
+    val rows = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sparse(text: String): Map[Int, Long] = {
+      val grams: Seq[String] =
+        text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet.toSeq
+      grams.map { g =>
+          val h = HashingKernels.md5hex(g)
+          val dim = (java.lang.Long.parseLong(h.substring(0, 8), 16) % 256).toInt
+          val sgn = if (Integer.parseInt(h.substring(8, 9), 16) % 2 == 0) 1L else -1L
+          dim -> sgn
+        }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+        .filter(_._2 != 0L)
+    }
+    val vecs = rows.map { case (id, s, t) => (id, s, sparse(t)) }
+      .filter(_._3.nonEmpty)
+    val cents = vecs.groupBy(_._2).map { case (s, vs) =>
+      s -> vs.flatMap(_._3.toSeq).groupBy(_._1)
+        .map { case (d, xs) => d -> xs.map(_._2).sum }.filter(_._2 != 0L)
+    }
+    val cn2 = cents.map { case (s, c) => s -> c.values.map(v => v * v).sum }
+    val expect = vecs.map { case (id, _, v) =>
+      id -> cents.keys.toSeq.map { s =>
+        val dot = v.map { case (d, x) => x * cents(s).getOrElse(d, 0L) }.sum
+        val score = BigDecimal(dot / math.sqrt(cn2(s).toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (s, score)
+      }.minBy { case (s, sc) => (-sc, s) }._1
+    }.toMap
+    assert(got == expect, s"preds: got ${got.size}, want ${expect.size}")
+    // the planted per-source vocabulary overlap means SOME docs classify
+    // to their own source — the matrix must have a non-trivial diagonal
+    val diag = rows.count { case (id, s, _) => got.get(id).contains(s) }
+    assert(diag > 0)
+  }
+
   test("multimodal: deterministic features, fixed dim, partition-local") {
     val media = Multimodal.mediaFromDocuments(docs)
     val f1 = Multimodal.extractFeatures(media).toDF()

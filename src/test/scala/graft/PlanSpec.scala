@@ -228,6 +228,15 @@ class PlanSpec extends SparkSpec {
     assert(!bad, "no shuffle of document/gram text:\n" + p.take(800))
   }
 
+  test("q51: centroid classify — centroids broadcast back, no text in any exchange") {
+    val p = plan(Queries.q51CentroidClassify(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"), "centroid/norm joins must broadcast:\n" + p.take(800))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!bad, "no shuffle of document text:\n" + p.take(800))
+  }
+
   test("q42: curation pipeline joins move ids only — text never in an exchange") {
     val p = plan(Queries.q42Curation(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
