@@ -243,6 +243,26 @@ object Joins {
       }
   }
 
+  /** Stream-static dedup: drop streaming records whose content already
+    * exists in a STATIC reference corpus — the streaming half of
+    * `Dedup.incrementalDedupIds`' exact stage (known-content suppression
+    * at ingest: previously ingested docs, banned texts, already-crawled
+    * pages). The static side reduces to DISTINCT md5 content hashes
+    * (16-byte rows) and is re-joined per micro-batch by Spark's
+    * stream-static machinery — the operator keeps NO stream state, so
+    * nothing grows with the stream; at 100 TB the hash side is a parquet
+    * table Spark broadcast- or shuffled-hash-joins per batch, and the
+    * content hash computes scan-side so the stream's text never enters
+    * the anti-join exchange. Runs identically in batch mode (the
+    * streaming==batch test exploits this).
+    */
+  def streamStaticDedup(stream: DataFrame, corpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val hashes = corpus.select(md5(col(textCol)).as("_h")).distinct()
+    stream.withColumn("_h", md5(col(textCol)))
+      .join(hashes, Seq("_h"), "left_anti").drop("_h")
+  }
+
   /** Build the `AsOfEvent` envelope from two DataFrames: key/ts/tie columns
     * plus the full row as a JSON payload (read back with `from_json`).
     */

@@ -233,6 +233,25 @@ class EventTimeSpec extends SparkSpec {
     assert(got.select("conv_id", "turn_idx").distinct().count() == 4)
   }
 
+  test("stream-static dedup: streaming == batch anti-join; no state growth") {
+    import spark.implicits._
+    val dir = tmpDir("ssdedup")
+    val turns = Seq(
+      t("c1", 0, "user", None, 0), t("c1", 1, "assistant", None, 10),
+      t("c2", 0, "user", None, 20), t("c2", 1, "assistant", None, 30),
+      t("c3", 0, "user", None, 40))
+    writeTurnFile(dir, "b1", turns.take(3))
+    writeTurnFile(dir, "b2", turns.drop(3))
+    // static corpus already holds the text of turn_idx 0 ("text-0")
+    val corpus = Seq("text-0", "unrelated known content").toDF("text")
+    val got = runToMemory(
+      Joins.streamStaticDedup(streamTurns(dir), corpus), "ssd", "append")
+    val want = Joins.streamStaticDedup(spark.createDataset(turns).toDF(), corpus)
+    assertSameRows(got, want, "stream-static dedup streaming == batch")
+    // only the turn_idx >= 1 texts survive (idx-0 texts are known content)
+    assert(got.count() == 2 && got.where(col("turn_idx") === 0).count() == 0)
+  }
+
   // ---------------- streaming as-of join ----------------
 
   test("as-of join streaming == batch; out-of-order within watermark; late-left null") {
