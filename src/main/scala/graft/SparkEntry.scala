@@ -71,7 +71,8 @@ object SparkEntry {
     "q48_length_outliers" -> (Queries.q48LengthOutliers _),
     "q49_token_budget" -> (Queries.q49TokenBudget _),
     "q50_incremental_dedup" -> (Queries.q50IncrementalDedup _),
-    "q51_centroid_classify" -> (Queries.q51CentroidClassify _)
+    "q51_centroid_classify" -> (Queries.q51CentroidClassify _),
+    "q52_assembly" -> (Queries.q52Assembly _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -722,6 +723,46 @@ object SparkEntry {
         |           FROM scored) WHERE rn = 1)
         |SELECT d.source, b.pred, count(*) AS n
         |FROM best b JOIN documents d USING (doc_id)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // q52 mirror: the q45 → q49 → q44 chains composed — mixture thresholds
+    // from counts, budget prefix over the mixture survivors, writer-tape
+    // packing over the budget survivors. Same exact integer arithmetic as
+    // the standalone mirrors.
+    "q52_assembly" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |        CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 3
+        |                    WHEN 'src2' THEN 2 ELSE 1 END AS num
+        |      FROM c WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |tt AS (SELECT min(n * 10 // num) AS t FROM w),
+        |thr AS (SELECT source,
+        |          CASE WHEN n = 0 THEN 0::HUGEINT
+        |               ELSE ((tt.t * num // 10)::HUGEINT
+        |                     * 1152921504606846976::HUGEINT) // n::HUGEINT
+        |          END AS thr
+        |        FROM w, tt),
+        |mixed AS (SELECT d.doc_id, d.text
+        |          FROM documents d JOIN thr ON d.source = thr.source
+        |          WHERE ('0x' || substr(md5('m0:' || d.doc_id), 1, 15))::UBIGINT::HUGEINT
+        |                < thr.thr),
+        |x AS (SELECT doc_id,
+        |        ('0x' || substr(md5('b0:' || doc_id), 1, 15))::UBIGINT::BIGINT AS h,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |      FROM mixed),
+        |cm AS (SELECT *, sum(tk) OVER (ORDER BY h, doc_id
+        |         ROWS UNBOUNDED PRECEDING) AS cum FROM x),
+        |sized AS (SELECT doc_id FROM cm WHERE cum <= 2000),
+        |t AS (SELECT m.doc_id,
+        |        ('0x' || substr(md5('w0:' || m.doc_id), 1, 15))::UBIGINT::BIGINT % 4 AS writer,
+        |        len(string_split(m.text, ' ')) AS n_tokens
+        |      FROM mixed m JOIN sized USING (doc_id)),
+        |cc AS (SELECT writer, doc_id, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY writer ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM t)
+        |SELECT writer, CAST((cum - n_tokens) // 512 AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM cc GROUP BY 1, 2""".stripMargin
   )
 }

@@ -549,6 +549,28 @@ object Queries {
       .groupBy(col("source"), col("pred")).agg(count(lit(1)).as("n"))
   }
 
+  /** q52: the end-to-end corpus-ASSEMBLY pipeline (the back half q42's
+    * curation chain feeds): mixture balancing to 4:3:2:1 over src0..src3 →
+    * 2000-token budget prefix → shard packing (512-token shards, 4
+    * writers), reported as the final per-shard fill. The composition twin
+    * of q42: every stage is the same exact engine-neutral arithmetic as
+    * its standalone query, so the whole assembly is oracle-checked as one
+    * result. (Unlike q42's single lazy plan, the assembly stages are
+    * pass-bounded by design: mixture rates and the budget boundary each
+    * need one strata/bin-bounded driver aggregate — that IS the two-pass
+    * structure that avoids a global sort at 100 TB.)
+    */
+  def q52Assembly(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val mixed = graft.ops.Corpus.balanceMixture(docs, "source",
+      Map("src0" -> ((4L, 10L)), "src1" -> ((3L, 10L)),
+        "src2" -> ((2L, 10L)), "src3" -> ((1L, 10L))))
+    val sized = graft.ops.Corpus.tokenBudgetSample(mixed, budget = 2000L)
+    graft.ops.Corpus.packShards(sized, tokenBudget = 512, numWriters = 4)
+      .groupBy(col("writer"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

@@ -237,6 +237,14 @@ class PlanSpec extends SparkSpec {
     assert(!bad, "no shuffle of document text:\n" + p.take(800))
   }
 
+  test("q52: assembly composition — no text in any hash exchange across all stages") {
+    val p = plan(Queries.q52Assembly(spark, sf))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!bad, "no shuffle of document text:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("q42: curation pipeline joins move ids only — text never in an exchange") {
     val p = plan(Queries.q42Curation(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
