@@ -157,6 +157,73 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("corpus assembly ops == reference models on random corpora and budgets") {
+    import spark.implicits._
+    import graft.ops.Corpus
+    def hash60(s: String): Long =
+      java.lang.Long.parseLong(graft.functions.HashingKernels.md5hex(s).substring(0, 15), 16)
+    val rnd = new scala.util.Random(31337)
+    for (round <- 0 until 4) {
+      // random corpus: variable token counts (incl. 1-token docs), skewed
+      // strata (incl. singleton strata), sparse ids
+      val n = 50 + rnd.nextInt(100)
+      val rows = (0 until n).map { i =>
+        val id = i.toLong * (1 + rnd.nextInt(3))
+        val toks = 1 + rnd.nextInt(40)
+        val s = s"s${rnd.nextInt(1 + rnd.nextInt(6))}"
+        (id, s, Seq.fill(toks)(s"w${rnd.nextInt(50)}").mkString(" "))
+      }.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "source", "text")
+      val tk = rows.map(r => r._1 -> r._3.split(" ").length.toLong).toMap
+
+      // packShards vs cumulative model (random budget + writer count incl. 1)
+      val budget = 1L + rnd.nextInt(200)
+      val writers = 1 + rnd.nextInt(6)
+      val gotPack = Corpus.packShards(df, budget, writers)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+      val wantPack = rows.map(_._1).groupBy(id => hash60(s"w0:$id") % writers)
+        .flatMap { case (w, ids) =>
+          var acc = 0L
+          ids.sorted.map { id =>
+            val off = acc; acc += tk(id); id -> (w, off / budget)
+          }
+        }
+      assert(gotPack == wantPack, s"packShards round=$round budget=$budget writers=$writers")
+
+      // tokenBudgetSample vs sort-prefix model, budget hitting an EXACT
+      // prefix-sum boundary (the <= edge) plus a random one
+      val order = rows.map(_._1).sortBy(id => (hash60(s"b0:$id"), id))
+      val prefix = order.scanLeft(0L)((a, id) => a + tk(id)).drop(1)
+      val exactBoundary = prefix(rnd.nextInt(order.length))
+      for (b <- Seq(exactBoundary, rnd.nextLong(prefix.last + 10).abs)) {
+        val got = Corpus.tokenBudgetSample(df, b, binBits = 2 + rnd.nextInt(6))
+          .collect().map(_.getLong(0)).toSet
+        val want = order.zip(prefix).takeWhile(_._2 <= b).map(_._1).toSet
+        assert(got == want, s"tokenBudget round=$round budget=$b")
+      }
+
+      // balanceMixture vs exact integer model; round 0 also names an ABSENT
+      // stratum, which legitimately zeroes the mixture (no data can satisfy
+      // its share) — the other rounds verify the non-degenerate algebra
+      val targets = (0 until 3).map(i =>
+          s"s$i" -> ((1L + rnd.nextInt(5), 1L + rnd.nextInt(9) + 1L))).toMap ++
+        (if (round == 0) Map("sAbsent" -> ((1L, 2L))) else Map.empty)
+      val bySrc = rows.groupBy(_._2)
+      val nS = targets.map { case (s, _) => s -> bySrc.get(s).map(_.size.toLong).getOrElse(0L) }
+      val total = targets.map { case (s, (num, den)) => nS(s) * den / num }.min
+      val wantMix = targets.toSeq.flatMap { case (s, (num, den)) =>
+        val kept = total * num / den
+        val thr = if (nS(s) == 0) 0L
+          else java.math.BigInteger.valueOf(kept).shiftLeft(60)
+            .divide(java.math.BigInteger.valueOf(nS(s))).longValueExact()
+        bySrc.getOrElse(s, Seq.empty).map(_._1).filter(id => hash60(s"m0:$id") < thr)
+      }.toSet
+      val gotMix = Corpus.balanceMixture(df, "source", targets)
+        .collect().map(_.getLong(0)).toSet
+      assert(gotMix == wantMix, s"balanceMixture round=$round (total=$total)")
+    }
+  }
+
   test("stratified sampling: monotone nesting across random rational rates") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rnd = new scala.util.Random(2026)
