@@ -72,7 +72,9 @@ object Corpus {
     * m_s = ⌊T·num_s/den_s⌋ ≤ n_s docs — i.e. the binding (most
     * over-demanded) source is kept whole and every other source
     * down-samples to match the target ratios. Strata not in `targets` are
-    * dropped (weight 0). All arithmetic is exact integers (BigInteger for
+    * dropped (weight 0); a TARGET stratum with no corpus rows fails loud
+    * (T = 0 would silently vanish the whole mixture, and the likely cause
+    * is a typo'd name). All arithmetic is exact integers (BigInteger for
     * the 2^60-scaled thresholds), so the kept set is reproducible
     * bit-for-bit in any engine.
     *
@@ -90,6 +92,15 @@ object Corpus {
     val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = targets.map { case (s, _) => s -> counts.getOrElse(s, 0L) }
+    // loud beats wrong: an empty target stratum makes T = 0 — the whole
+    // mixture silently vanishes, and the most likely cause is a typo'd
+    // stratum name, not a deliberate zero
+    n.find(_._2 == 0L).foreach { case (s, _) =>
+      throw new IllegalArgumentException(
+        s"balanceMixture: target stratum '$s' has no rows in the corpus — " +
+          s"no total can satisfy its share (present strata: " +
+          s"${counts.keys.toSeq.sorted.take(20).mkString(", ")})")
+    }
     val total = targets.map { case (s, (num, den)) => n(s) * den / num }.min
     val thresholds = targets.map { case (s, (num, den)) =>
       val kept = total * num / den // ≤ n(s) by construction of `total`

@@ -202,12 +202,19 @@ class ModelCheckSpec extends SparkSpec {
         assert(got == want, s"tokenBudget round=$round budget=$b")
       }
 
-      // balanceMixture vs exact integer model; round 0 also names an ABSENT
-      // stratum, which legitimately zeroes the mixture (no data can satisfy
-      // its share) — the other rounds verify the non-degenerate algebra
-      val targets = (0 until 3).map(i =>
-          s"s$i" -> ((1L + rnd.nextInt(5), 1L + rnd.nextInt(9) + 1L))).toMap ++
-        (if (round == 0) Map("sAbsent" -> ((1L, 2L))) else Map.empty)
+      // balanceMixture vs exact integer model; an ABSENT target stratum
+      // must fail loud (T = 0 would silently vanish the mixture — the
+      // likely cause is a typo'd name)
+      if (round == 0) {
+        val e = intercept[IllegalArgumentException] {
+          Corpus.balanceMixture(df, "source",
+            Map("s0" -> ((1L, 2L)), "sAbsent" -> ((1L, 2L))))
+        }
+        assert(e.getMessage.contains("sAbsent"))
+      }
+      // target only strata the generated corpus actually contains
+      val targets = rows.map(_._2).distinct.sorted.take(3).map(s =>
+        s -> ((1L + rnd.nextInt(5), 1L + rnd.nextInt(9) + 1L))).toMap
       val bySrc = rows.groupBy(_._2)
       val nS = targets.map { case (s, _) => s -> bySrc.get(s).map(_.size.toLong).getOrElse(0L) }
       val total = targets.map { case (s, (num, den)) => nS(s) * den / num }.min
