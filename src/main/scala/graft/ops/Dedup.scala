@@ -65,25 +65,32 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val g = grams(docs, n, idCol, textCol).cache()
     val sizes = g.groupBy("id").agg(count(lit(1)).as("ng"))
+    // every inverted-index exchange moves the 8-byte xxhash64 of the gram,
+    // never the gram STRING (~2.5× less shuffle at 3-word grams, far more
+    // at larger n; grams are distinct-per-doc so a collision would need
+    // two distinct grams of ONE doc colliding — ~grams²/2^64 — and would
+    // only perturb one intersection count, which the DuckDB oracle
+    // joining gram text would catch)
+    val gh = g.select(col("id"), xxhash64(col("gram")).as("gh"))
     if (maxGramDf == Int.MaxValue) {
       // exact single-join path: intersection counts fall out directly
-      val inter = g.as("a").join(g.as("b"),
-          col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      val inter = gh.as("a").join(gh.as("b"),
+          col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
         .agg(count(lit(1)).as("inter"))
       jaccardFilter(inter, sizes, threshold)
     } else {
       // capped index → candidates → exact verify over full gram sets
-      val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
-        .where(col("df") > maxGramDf).select("gram")
-      val idx = g.join(broadcast(hot), Seq("gram"), "left_anti")
+      val hot = gh.groupBy("gh").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxGramDf).select("gh")
+      val idx = gh.join(broadcast(hot), Seq("gh"), "left_anti")
       val cand = idx.as("a").join(idx.as("b"),
-          col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+          col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
         .distinct()
       val inter = cand
-        .join(g.toDF("id1", "gram"), "id1")
-        .join(g.toDF("id2", "gram"), Seq("id2", "gram"))
+        .join(gh.toDF("id1", "gh"), "id1")
+        .join(gh.toDF("id2", "gh"), Seq("id2", "gh"))
         .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
       jaccardFilter(inter, sizes, threshold)
     }
@@ -142,11 +149,14 @@ object Dedup {
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
     // exact verification of candidates only: intersect gram sets via a
-    // two-step equi-join on (id, gram) — no cross-product of gram lists
+    // two-step equi-join on (id, gram-hash) — no cross-product of gram
+    // lists, and no gram STRING in any exchange (8-byte xxhash64 keys;
+    // same collision note as ngramJaccardPairs)
     val sizes = g.groupBy("id").agg(count(lit(1)).as("ng"))
+    val gh = g.select(col("id"), xxhash64(col("gram")).as("gh"))
     val inter = cand
-      .join(g.toDF("id1", "gram"), "id1")
-      .join(g.toDF("id2", "gram"), Seq("id2", "gram"))
+      .join(gh.toDF("id1", "gh"), "id1")
+      .join(gh.toDF("id2", "gh"), Seq("id2", "gh"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     jaccardFilter(inter, sizes, threshold)
   }

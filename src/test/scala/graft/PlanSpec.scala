@@ -49,6 +49,12 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(600))
       assert(p.contains("partial_count") || p.contains("partial_min"),
         "map-side partial aggregation present:\n" + p.take(600))
+      // inverted-index and verify exchanges move 8-byte xxhash64 gram keys
+      // — never the gram STRING (at 100 TB the gram stream dominates
+      // shuffle volume; the only per-id aggregate rows are counts)
+      val bad = p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("gram#"))
+      assert(!bad, "no gram strings in any exchange:\n" + p.take(800))
     }
   }
 
