@@ -716,7 +716,7 @@ object SparkEntry {
         |dots AS (SELECT sp.doc_id, cent.s, CAST(SUM(sp.v * cent.c) AS BIGINT) AS dot
         |         FROM sp JOIN cent ON sp.dim = cent.dim GROUP BY 1, 2),
         |scored AS (SELECT doc_id, s, round(dot / sqrt(cn2), 4) AS score
-        |           FROM dots JOIN cn USING (s)),
+        |           FROM dots JOIN cn USING (s) WHERE cn2 > 0),
         |best AS (SELECT doc_id, s AS pred FROM (
         |           SELECT *, row_number() OVER (
         |             PARTITION BY doc_id ORDER BY score DESC, s) AS rn

@@ -206,7 +206,11 @@ object Corpus {
       .groupBy(col("id"), col("s")).agg(sum(col("x") * col("c")).as("dot"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("s"))
-    dots.join(broadcast(cn), "s")
+    // a degenerate all-zero centroid (every dim's signs cancel — possible
+    // for a tiny stratum) would score 0/√0 = NaN, and NaN orders FIRST in
+    // a descending sort — excluding it keeps the argmax well-defined and
+    // engine-neutral
+    dots.join(broadcast(cn), "s").where(col("cn2") > 0)
       .withColumn("score", round(col("dot") / sqrt(col("cn2")), 4))
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
       .select(col("id").as(idCol), col("s").as("pred"), col("score"))

@@ -354,8 +354,8 @@ object Dedup {
     * all-pairs operators don't have.
     */
   def incrementalDedupIds(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
-      threshold: Double = 0.6, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      threshold: Double = 0.6, maxGramDf: Int = Int.MaxValue,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val newHash = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
     val corpusHash = corpus.select(md5(col(textCol)).as("h")).distinct()
     val exactSurvivors = newHash.join(corpusHash, Seq("h"), "left_anti")
@@ -368,8 +368,26 @@ object Dedup {
       .select(col("id").as("oid"), graft.ops.TextAnalysis.tokenHash60(col("gram")).as("g"))
     val nNew = gNew.groupBy(col("id")).agg(count(lit(1)).as("ngA"))
     val nOld = gOld.groupBy(col("oid")).agg(count(lit(1)).as("ngB"))
-    val inter = gNew.join(gOld, "g")
-      .groupBy(col("id"), col("oid")).agg(count(lit(1)).as("inter"))
+    // `maxGramDf` is the same hot-gram guard as ngramJaccardPairs', and it
+    // matters MORE here: a corpus-wide boilerplate gram joins every new
+    // doc containing it against its whole corpus-side posting list. Hot
+    // grams (corpus document frequency above the cap) leave the INDEX
+    // only; candidate pairs still verify over FULL gram sets, so emitted
+    // survivors stay exact — a new doc slips through only if ALL its
+    // shared grams are boilerplate, which at jaccard ≥ 0.6 means run
+    // exact dedup first (q11's documented contract).
+    val inter = if (maxGramDf == Int.MaxValue) {
+      gNew.join(gOld, "g")
+        .groupBy(col("id"), col("oid")).agg(count(lit(1)).as("inter"))
+    } else {
+      val hot = gOld.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .where(col("df") > maxGramDf).select(col("g"))
+      val cand = gNew.join(broadcast(hot), Seq("g"), "left_anti")
+        .join(gOld.join(broadcast(hot), Seq("g"), "left_anti"), "g")
+        .select(col("id"), col("oid")).distinct()
+      cand.join(gNew, "id").join(gOld, Seq("oid", "g"))
+        .groupBy(col("id"), col("oid")).agg(count(lit(1)).as("inter"))
+    }
     val nearHits = inter.join(nNew, "id").join(nOld, "oid")
       .where(col("inter") / (col("ngA") + col("ngB") - col("inter")) >= threshold)
       .select(col("id")).distinct()

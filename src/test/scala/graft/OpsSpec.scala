@@ -745,6 +745,12 @@ class OpsSpec extends SparkSpec {
     val got = Dedup.incrementalDedupIds(nw, old).collect().map(_.getLong(0)).toSet
     assert(got == expect, s"incremental survivors: got ${got.size}, want ${expect.size}")
     assert(got.size < gn.size, "fixture's planted dups must drop some new docs")
+    // hot-gram cap: identical survivors on this corpus (no pair relies
+    // exclusively on boilerplate grams), exact values preserved by the
+    // full-set verification
+    val capped = Dedup.incrementalDedupIds(nw, old, maxGramDf = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == expect, "capped == uncapped incremental survivors")
   }
 
   test("centroidClassify == independent md5 sparse-vector model") {
@@ -776,7 +782,7 @@ class OpsSpec extends SparkSpec {
     }
     val cn2 = cents.map { case (s, c) => s -> c.values.map(v => v * v).sum }
     val expect = vecs.map { case (id, _, v) =>
-      id -> cents.keys.toSeq.map { s =>
+      id -> cents.keys.toSeq.filter(s => cn2(s) > 0).map { s =>
         val dot = v.map { case (d, x) => x * cents(s).getOrElse(d, 0L) }.sum
         val score = BigDecimal(dot / math.sqrt(cn2(s).toDouble))
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
