@@ -37,8 +37,17 @@ object GraftSession {
     spark
   }
 
+  /** Parquet codec for everything this engine writes. Overridable via
+    * `SPARK_GRAFT_PARQUET_CODEC` (snappy | zstd | lz4 | gzip |
+    * uncompressed) — the write stage dominates CDC replay (per-rep stage
+    * decomposition: sink_write ≈ 80 % of addBatch), so codec choice is a
+    * first-order deployment knob: cheaper codecs buy replay throughput,
+    * heavier ones buy storage.
+    */
+  private def parquetCodec: Option[String] = sys.env.get("SPARK_GRAFT_PARQUET_CODEC")
+
   def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+    val builder0 = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -53,6 +62,8 @@ object GraftSession {
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       )
+    val spark = parquetCodec
+      .fold(builder0)(c => builder0.config("spark.sql.parquet.compression.codec", c))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // getOrCreate may return a pre-existing session built without the

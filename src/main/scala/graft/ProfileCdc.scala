@@ -28,8 +28,9 @@ object ProfileCdc {
     sys.props.getOrElseUpdate("graft.replayMode", "true") // declared replay
     val spark = GraftSession.local(cpus, "graft-profile")
     // optional second arg: a generated table dir to spool into streamDir
-    // first (same layout Bench.replayOnce uses)
-    args.lift(1).foreach { tableDir =>
+    // first (same layout Bench.replayOnce uses); "" or "-" skips the spool
+    // (re-profile an already-spooled dir, e.g. to vary the codec per JVM)
+    args.lift(1).filter(d => d.nonEmpty && d != "-").foreach { tableDir =>
       ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
       ChangeStreamReader.spoolSnapshot(spark, tableDir, streamDir, numFiles = 64)
     }
