@@ -46,6 +46,39 @@ object Joins {
       (unix_millis(col("resp_ts")) - unix_millis(col("call_ts"))).as("latency_ms"))
   }
 
+  /** LEFT-OUTER variant of `toolCallResponse`: every tool call, matched
+    * responses as in the inner join, UNMATCHED calls emitted with null
+    * response columns — the "tool call timed out" operational report. In
+    * streaming this is Spark's watermarked outer stream-stream join: an
+    * unmatched call is held in state until the watermark passes
+    * `call_ts + horizon` (both sides MUST be watermarked — enforced here —
+    * or state would grow forever and nulls could never be emitted), then
+    * released with nulls; batch mode computes the identical relation. One
+    * (conv_id, tool)-keyed shuffle per side, state bounded by the horizon.
+    */
+  def toolCallResponseOuter(turns: DataFrame, horizon: String = "10 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    require(turns.isStreaming == false || watermark.isDefined,
+      "outer stream-stream join requires a watermark on both sides " +
+        "(state cannot be released without one)")
+    def wm(df: DataFrame): DataFrame = watermark.fold(df)(w => df.withWatermark("ts", w))
+    val calls = wm(turns.where(col("role") === "assistant" && col("tool").isNotNull))
+      .select(col("conv_id"), col("turn_idx").as("call_idx"),
+        col("tool"), col("ts").as("call_ts"))
+    val resps = wm(turns.where(col("role") === "tool" && col("tool").isNotNull))
+      .select(col("conv_id").as("r_conv_id"), col("turn_idx").as("resp_idx"),
+        col("tool").as("r_tool"), col("ts").as("resp_ts"))
+    calls.join(
+      resps,
+      col("conv_id") === col("r_conv_id") && col("tool") === col("r_tool") &&
+        col("resp_ts") > col("call_ts") &&
+        col("resp_ts") <= col("call_ts") + expr(s"interval $horizon"),
+      "left_outer"
+    ).select(col("conv_id"), col("tool"), col("call_idx"), col("resp_idx"),
+      col("call_ts"), col("resp_ts"),
+      (unix_millis(col("resp_ts")) - unix_millis(col("call_ts"))).as("latency_ms"))
+  }
+
   /** As-of join: every `left` row gets the LATEST `right` row (same key)
     * with `right.ts <= left.ts` (`strict=true` → `<`), or null when no such
     * row exists. The operator the reference family expresses as a temporal/

@@ -397,4 +397,46 @@ class EventTimeSpec extends SparkSpec {
     assertSameRows(got, want, "stream-stream join")
     assert(want.count() > 0)
   }
+
+  test("outer tool-call join: timed-out calls emit nulls; streaming == batch") {
+    val cfg = GenConfig(numConvs = 80, avgTurns = 15, seed = 99)
+    val batchTurns = genTurns(cfg)
+    val dir = tmpDir("ojoin")
+    val collected = batchTurns.collect().map(r =>
+      Turn(r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        Option(r.getString(4)), r.getTimestamp(5))).toSeq
+    val (a, b) = collected.splitAt(collected.size / 2)
+    // an outer join can only emit a null for a call once the watermark
+    // passes call_ts + horizon — calls near the end of a FINITE stream
+    // would stay in state forever. The operational pattern is heartbeat
+    // events that advance the watermark; these sentinels join nothing
+    // (unique conv/tool, resp_ts == call_ts fails the > bound) and appear
+    // in BOTH inputs, so streaming == batch stays exact.
+    val maxTs = collected.map(_.ts.getTime).max
+    val hb = Seq(
+      Turn("zz-heartbeat", 0, "assistant", "hb", Some("zz-hb"),
+        new Timestamp(maxTs + 3600 * 1000L)),
+      Turn("zz-heartbeat", 1, "tool", "hb", Some("zz-hb"),
+        new Timestamp(maxTs + 3600 * 1000L)))
+    writeTurnFile(dir, "b1", a)
+    writeTurnFile(dir, "b2", b)
+    writeTurnFile(dir, "b3", hb)
+    import spark.implicits._
+    val batchAll = batchTurns.unionByName(spark.createDataset(hb).toDF())
+    // the heartbeat's OWN unmatched call stays in streaming state (nothing
+    // advances the watermark past it) — excluded from both sides
+    val got = runToMemory(
+      Joins.toolCallResponseOuter(streamTurns(dir, 1), "10 minutes", Some("30 seconds")),
+      "ojoin_s", "append").where(col("conv_id") =!= "zz-heartbeat")
+    val want = Joins.toolCallResponseOuter(batchAll, "10 minutes")
+      .where(col("conv_id") =!= "zz-heartbeat")
+    assertSameRows(got, want, "outer stream-stream join")
+    // the outer join's whole point: unmatched calls appear with nulls, and
+    // the matched subset equals the inner join exactly
+    assert(want.where(col("resp_idx").isNull).count() > 0,
+      "generator must produce some unanswered tool calls")
+    assertSameRows(want.where(col("resp_idx").isNotNull),
+      Joins.toolCallResponse(batchTurns, "10 minutes"),
+      "outer∖nulls == inner")
+  }
 }
