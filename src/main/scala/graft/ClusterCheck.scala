@@ -57,8 +57,35 @@ object ClusterCheck {
             s"${Option(e.getMessage).getOrElse("").take(160)}")
       } finally spark.catalog.clearCache()
     }
+    // CDC under separate executor JVMs: snapshot + incremental replay
+    // through the exactly-once sink (RocksDB state, manifest 2PC, salted
+    // range-partitioned writes all crossing real JVM boundaries), then
+    // LWW materialization must equal the generator's batch oracle with
+    // PER-TURN TEXT EQUALITY — the north-rule invariant itself, checked
+    // beyond one JVM.
+    val cdcOk = try {
+      val cfg = graft.source.TranscriptGen.GenConfig(
+        numConvs = 150, avgTurns = 10, seed = 42L, changeFiles = 3,
+        changeEventsPerTurn = 0.5, malformedFrac = 0.03, schemaChangeFrac = 0.03)
+      val base = s"/tmp/graft-clustercheck-${System.nanoTime()}"
+      graft.source.TranscriptGen.writeTable(spark, cfg, s"$base/table")
+      graft.source.ChangeStreamReader.deliverChanges(spark, s"$base/table", s"$base/stream")
+      graft.pipeline.CdcPipeline.runAvailable(spark, s"$base/table", s"$base/stream",
+        s"$base/out", s"$base/ck", maxFilesPerTrigger = 4)
+      val got = canon(graft.pipeline.CdcPipeline.materialize(spark, s"$base/out").toDF())
+      val want = canon(graft.source.TranscriptGen.finalState(spark, cfg).toDF())
+      val ok = got == want
+      println(s"[clustercheck] cdc_replay ${if (ok) "OK" else "MISMATCH"} rows=${got.size}")
+      ok
+    } catch {
+      case e: Throwable =>
+        println(s"[clustercheck] cdc_replay FAILED ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(160)}")
+        false
+    }
+    if (!cdcOk) failed += 1
     spark.stop()
-    println(s"[clustercheck] ${Subset.size - failed}/${Subset.size} equal to local-mode outputs")
+    println(s"[clustercheck] ${Subset.size + 1 - failed}/${Subset.size + 1} equal to local-mode/oracle")
     if (failed > 0) sys.exit(3)
   }
 }
