@@ -170,10 +170,30 @@ object Main {
               sink.epochFloor.fold("")(e => s" epoch=$e"))
           case None => println("[lineage] no committed batches")
         }
+      case "ingest" :: docsDir :: workDir :: rest =>
+        // streaming corpus curation through the exactly-once sink
+        // (pipeline.CorpusIngest): scrub → quality gate → known-content
+        // dedup (optional knownDir of previously curated docs) →
+        // in-stream content dedup → manifest-committed per-source parquet
+        val minQuality = rest.headOption.map(_.toDouble).getOrElse(0.5)
+        val schema = spark.read.parquet(docsDir).schema
+        val known = rest.lift(1) match {
+          case Some(dir) => spark.read.parquet(dir).select(col("text"))
+          case None =>
+            import spark.implicits._
+            Seq.empty[String].toDF("text")
+        }
+        pipeline.CorpusIngest.start(spark, docsDir, schema, known,
+          s"$workDir/out", s"$workDir/checkpoint", minQuality).awaitTermination()
+        val snk = new graft.sink.ExactlyOnceSink(spark, s"$workDir/out")
+        val kept = snk.readCommitted("events").map(_.count()).getOrElse(0L)
+        println(s"[ingest] kept=$kept sources=${snk.tables().size} " +
+          s"batches=${snk.committedBatchIds.size}")
       case other =>
         System.err.println(s"unknown args: ${other.mkString(" ")}\n" +
           "usage: gen <tableDir> [numConvs] [avgTurns] [zipf] | run <tableDir> <workDir> [mft] | " +
-          "materialize <workDir> | lineage <workDir>")
+          "materialize <workDir> | lineage <workDir> | " +
+          "ingest <docsDir> <workDir> [minQuality] [knownDir]")
         sys.exit(2)
     }
   }
