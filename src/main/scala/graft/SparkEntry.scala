@@ -72,7 +72,8 @@ object SparkEntry {
     "q49_token_budget" -> (Queries.q49TokenBudget _),
     "q50_incremental_dedup" -> (Queries.q50IncrementalDedup _),
     "q51_centroid_classify" -> (Queries.q51CentroidClassify _),
-    "q52_assembly" -> (Queries.q52Assembly _)
+    "q52_assembly" -> (Queries.q52Assembly _),
+    "q53_ingest_curate" -> (Queries.q53IngestCurate _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -763,6 +764,19 @@ object SparkEntry {
         |       FROM t)
         |SELECT writer, CAST((cum - n_tokens) // 512 AS BIGINT) AS shard,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        |FROM cc GROUP BY 1, 2""".stripMargin
+        |FROM cc GROUP BY 1, 2""".stripMargin,
+    // q53 mirror: scrub (RE2-identical class, 'g' flag) → quality over the
+    // SCRUBBED text → drop text already in the scrubbed known slice →
+    // md5 of the surviving text.
+    "q53_ingest_curate" ->
+      s"""WITH s AS (SELECT doc_id, source,
+        |    regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS text FROM documents),
+        |k AS (SELECT DISTINCT regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS text
+        |      FROM documents WHERE doc_id % 50 = 0),
+        |q AS (SELECT doc_id, source, text, round($qualityExpr, 4) AS quality
+        |      FROM (SELECT *, string_split(text, ' ') AS w FROM s))
+        |SELECT doc_id, source, quality, md5(text) AS content_md5
+        |FROM q WHERE quality >= 0.5
+        |  AND text NOT IN (SELECT text FROM k)""".stripMargin
   )
 }

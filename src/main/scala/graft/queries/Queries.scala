@@ -571,6 +571,20 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** q53: the streaming-ingest curation transform (CorpusIngest.curate) in
+    * its deterministic batch form — scrub → quality gate → known-content
+    * drop → content hash — so the ingest path sits under the same DuckDB
+    * gate as everything else (its streaming==batch equivalence and the
+    * tie-arbitrary in-stream dedup are pinned by CorpusIngestSpec).
+    */
+  def q53IngestCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val known = docs.where(col("doc_id") % 50 === 0)
+      .select(graft.ops.TextAnalysis.scrub(col("text")).as("text"))
+    graft.pipeline.CorpusIngest.curate(docs, known, minQuality = 0.5)
+      .select(col("doc_id"), col("source"), col("quality"), col("content_md5"))
+  }
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))
