@@ -767,7 +767,9 @@ object SparkEntry {
         |FROM cc GROUP BY 1, 2""".stripMargin,
     // q53 mirror: scrub (RE2-identical class, 'g' flag) → quality over the
     // SCRUBBED text → drop text already in the scrubbed known slice →
-    // md5 of the surviving text.
+    // md5 of the surviving text. Quality is predicate-only (q31
+    // convention — an sf0.1 doc's rounded quality differed in the last
+    // ulp between engines).
     "q53_ingest_curate" ->
       s"""WITH s AS (SELECT doc_id, source,
         |    regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS text FROM documents),
@@ -775,7 +777,7 @@ object SparkEntry {
         |      FROM documents WHERE doc_id % 50 = 0),
         |q AS (SELECT doc_id, source, text, round($qualityExpr, 4) AS quality
         |      FROM (SELECT *, string_split(text, ' ') AS w FROM s))
-        |SELECT doc_id, source, quality, md5(text) AS content_md5
+        |SELECT doc_id, source, md5(text) AS content_md5
         |FROM q WHERE quality >= 0.5
         |  AND text NOT IN (SELECT text FROM k)""".stripMargin
   )

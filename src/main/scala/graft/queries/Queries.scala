@@ -576,13 +576,17 @@ object Queries {
     * drop → content hash — so the ingest path sits under the same DuckDB
     * gate as everything else (its streaming==batch equivalence and the
     * tie-arbitrary in-stream dedup are pinned by CorpusIngestSpec).
+    * The quality float stays a PREDICATE and is not emitted (q31
+    * convention: at sf0.1 one doc's pre-rounded quality sat within an ulp
+    * of a 0.00005 boundary and rounded differently per engine — rows
+    * matched, the emitted float did not).
     */
   def q53IngestCurate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = table(spark, sfDir, "documents")
     val known = docs.where(col("doc_id") % 50 === 0)
       .select(graft.ops.TextAnalysis.scrub(col("text")).as("text"))
     graft.pipeline.CorpusIngest.curate(docs, known, minQuality = 0.5)
-      .select(col("doc_id"), col("source"), col("quality"), col("content_md5"))
+      .select(col("doc_id"), col("source"), col("content_md5"))
   }
 
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
