@@ -250,9 +250,18 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
     else {
       // the `batch` partition-discovery column is internal dir naming
       // (compaction renames it) — never part of the committed content
-      val df = spark.read.option("basePath", s"$outDir/events").parquet(dirs: _*)
-        .where(col("route") === route).drop("batch")
-      Some(table.fold(df)(t => df.where(col("src_table") === t)))
+      try {
+        val df = spark.read.option("basePath", s"$outDir/events").parquet(dirs: _*)
+          .where(col("route") === route).drop("batch")
+        Some(table.fold(df)(t => df.where(col("src_table") === t)))
+      } catch {
+        // every committed batch is EMPTY (legal: a stream whose batches
+        // were fully filtered commits dirs with no part files, so parquet
+        // has nothing to infer a schema from) — committed content is
+        // genuinely absent, which is exactly what None means
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+      }
     }
   }
 

@@ -69,4 +69,35 @@ class CorpusIngestSpec extends SparkSpec {
     assert(man.where(col("partition").contains("src")).count() > 0)
     got.unpersist(); want.unpersist(); after.unpersist()
   }
+
+  test("a fully-filtered micro-batch commits empty and does not wedge the stream") {
+    import spark.implicits._
+    val dir = tmpDir("ci-empty-docs"); val out = tmpDir("ci-empty-out")
+    val ck = tmpDir("ci-empty-ck")
+    // every doc fails the quality gate (degenerate single-token repeats)
+    val junk = (0 until 30).map(i => (i.toLong, s"src${i % 3}", "spam " * 3))
+      .toDF("doc_id", "source", "text")
+    writeSlice(dir, "junk", junk)
+    val known = Seq.empty[String].toDF("text")
+    CorpusIngest.start(spark, dir, junk.schema, known, out, ck, minQuality = 0.9)
+      .awaitTermination()
+    val sink = new ExactlyOnceSink(spark, out)
+    assert(sink.committedBatchIds.nonEmpty, "empty batch must still commit")
+    assert(sink.readCommitted("events").forall(_.count() == 0))
+    // and a follow-up file with a doc engineered past the 0.9 gate (120
+    // tokens, 20% stopwords, ~8.7 mean chars, 0.86 diversity → ≈0.96)
+    // flows through the same stream
+    // letter-only tokens: scrub runs BEFORE the gate, so digit-bearing
+    // tokens would all collapse to the same <NUM>-masked string and kill
+    // the diversity term
+    val goodText = ((0 until 96).map(i =>
+      s"wordy${('a' + i / 26).toChar}${('a' + i % 26).toChar}xyz") ++
+      Seq.fill(3)(Seq("the", "a", "of", "and", "to", "in", "is", "over")).flatten)
+      .mkString(" ")
+    writeSlice(dir, "good",
+      Seq((100L, "src0", goodText)).toDF("doc_id", "source", "text"))
+    CorpusIngest.start(spark, dir, junk.schema, known, out, ck, minQuality = 0.9)
+      .awaitTermination()
+    assert(sink.readCommitted("events").get.count() == 1)
+  }
 }
