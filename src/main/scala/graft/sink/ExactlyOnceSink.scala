@@ -338,21 +338,44 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
       .filter(d => fs.exists(new Path(d)))
     val staging = s"$outDir/events/.staging-compact-$c"
     fs.delete(new Path(staging), true)
-    val df = spark.read.option("basePath", s"$outDir/events").parquet(srcDirs: _*)
-      .drop("batch") // partition-discovery column of the source dirs
-    writeDir(staging, df)
+    // an ALL-EMPTY live history (every batch fully filtered) has no part
+    // files to infer a schema from — the epoch still flips (bounding the
+    // manifest) with an empty snapshot dir and empty lineage
+    val src = try {
+      Some(spark.read.option("basePath", s"$outDir/events").parquet(srcDirs: _*)
+        .drop("batch")) // partition-discovery column of the source dirs
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+    }
+    src match {
+      case Some(df) => writeDir(staging, df)
+      case None => fs.mkdirs(new Path(staging)); ()
+    }
     val dst = new Path(compactDir(c))
     fs.delete(dst, true) // orphan from a crashed earlier attempt at the same c
     if (!fs.rename(new Path(staging), dst))
       throw new java.io.IOException(s"compaction rename failed for epoch $c")
-    // aggregated lineage of the compacted snapshot (same shape as commit)
-    val lineage = spark.read.option("basePath", compactDir(c)).parquet(compactDir(c))
-      .groupBy(concat_ws("/", col("route"), col("src_table"), col("p_date")).as("part"))
-      .agg(count(lit(1)).as("rows"),
-        coalesce(min(col("source.lsn")), lit(-1L)).as("minLsn"),
-        coalesce(max(col("source.lsn")), lit(-1L)).as("maxLsn"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // aggregated lineage of the compacted snapshot (same shape as commit).
+    // The lsn column depends on the envelope: CDC events carry source.lsn;
+    // the corpus-ingest envelope's logical lsn is ts_ms (= doc_id)
+    val lineage = if (src.isEmpty) Seq.empty else {
+      val snap = spark.read.option("basePath", compactDir(c)).parquet(compactDir(c))
+      // "source" must be the CDC envelope STRUCT — the ingest envelope has
+      // a plain string column of the same name (the document's source)
+      val lsn = snap.schema.find(_.name == "source") match {
+        case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          col("source.lsn")
+        case _ => col("ts_ms")
+      }
+      snap
+        .groupBy(concat_ws("/", col("route"), col("src_table"), col("p_date")).as("part"))
+        .agg(count(lit(1)).as("rows"),
+          coalesce(min(lsn), lit(-1L)).as("minLsn"),
+          coalesce(max(lsn), lit(-1L)).as("maxLsn"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
     val tmp = new Path(f"$outDir/_manifest/.tmp-epoch-$c%09d.json")
     val marker = new Path(f"$outDir/_manifest/epoch-$c%09d.json")
     val body = lineage.map { case (part, rows, minLsn, maxLsn) =>

@@ -67,6 +67,13 @@ class CorpusIngestSpec extends SparkSpec {
     // lineage carries per-source doc-id ranges for the audit trail
     val man = sink.readManifest().get
     assert(man.where(col("partition").contains("src")).count() > 0)
+    // log compaction works on the ingest envelope too (its lineage lsn is
+    // ts_ms = doc_id): content re-reads identically, epoch lineage present
+    val before = after.collect().map(_.mkString("|")).sorted.toSeq
+    sink.compact()
+    val compacted = sink.readCommitted("events").get
+    assert(compacted.collect().map(_.mkString("|")).sorted.toSeq == before)
+    assert(sink.readManifest().get.where(col("compacted") === true).count() > 0)
     got.unpersist(); want.unpersist(); after.unpersist()
   }
 
@@ -83,6 +90,11 @@ class CorpusIngestSpec extends SparkSpec {
       .awaitTermination()
     val sink = new ExactlyOnceSink(spark, out)
     assert(sink.committedBatchIds.nonEmpty, "empty batch must still commit")
+    assert(sink.readCommitted("events").forall(_.count() == 0))
+    // compacting an ALL-EMPTY history still flips the epoch (bounds the
+    // manifest) instead of crashing on schema inference
+    val epoch = sink.compact()
+    assert(sink.epochFloor.contains(epoch))
     assert(sink.readCommitted("events").forall(_.count() == 0))
     // and a follow-up file with a doc engineered past the 0.9 gate (120
     // tokens, 20% stopwords, ~8.7 mean chars, 0.86 diversity → ≈0.96)
