@@ -104,10 +104,8 @@ object Corpus {
     val total = targets.map { case (s, (num, den)) => n(s) * den / num }.min
     val thresholds = targets.map { case (s, (num, den)) =>
       val kept = total * num / den // ≤ n(s) by construction of `total`
-      val thr = if (n(s) == 0L) 0L
-        else java.math.BigInteger.valueOf(kept).shiftLeft(60)
-          .divide(java.math.BigInteger.valueOf(n(s))).longValueExact()
-      s -> thr
+      s -> java.math.BigInteger.valueOf(kept).shiftLeft(60)
+        .divide(java.math.BigInteger.valueOf(n(s))).longValueExact()
     }
     val thrCol = thresholds.toSeq.sortBy(_._1).foldRight(lit(-1L): Column) {
       case ((s, thr), acc) => when(col(strataCol) === s, lit(thr)).otherwise(acc)
@@ -224,16 +222,17 @@ object Corpus {
     * Scale: grams explode scan-side and immediately collapse to distinct
     * (source, gram-HASH) — after the projection the text never moves; the
     * self-join shuffles 8-byte hashes keyed by gram, and the output is
-    * sources² rows (tiny). A 60-bit fingerprint stands in for the gram
-    * text (same trade as q39: a collision could over-count one shared
-    * gram, probability ~ distinct-grams²/2^60 — and the oracle joining on
-    * the gram TEXT would catch it).
+    * sources² rows (tiny). A 64-bit xxhash64 fingerprint stands in for
+    * the gram text — internal join key only, so the cheap codegen'd hash
+    * applies (the q11/q12 re-key convention; a collision could over-count
+    * one shared gram, ~grams²/2^64, and the oracle joining on gram TEXT
+    * would catch it).
     */
   def sourceOverlap(docs: DataFrame, n: Int = 8,
       strataCol: String = "source", textCol: String = "text"): DataFrame = {
     val g = docs.select(col(strataCol).as("s"),
         explode(call_function("word_ngrams", col(textCol), lit(n))).as("gram"))
-      .select(col("s"), TextAnalysis.tokenHash60(col("gram")).as("h"))
+      .select(col("s"), xxhash64(col("gram")).as("h"))
       .distinct()
     g.as("a").join(g.as("b"), col("a.h") === col("b.h") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("source_a"), col("b.s").as("source_b"))

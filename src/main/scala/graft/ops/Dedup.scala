@@ -361,11 +361,13 @@ object Dedup {
     val exactSurvivors = newHash.join(corpusHash, Seq("h"), "left_anti")
       .select(col("id"))
     // grams() is already distinct-per-doc, so the hashed streams are too
-    // (a within-doc hash collision would need ~2^30 grams in one doc)
+    // (a within-doc hash collision would need ~2^32 grams in one doc);
+    // xxhash64 per the q11/q12 re-key convention — internal join key only,
+    // the oracle joins gram text
     val gNew = grams(newDocs, n, idCol, textCol)
-      .select(col("id"), graft.ops.TextAnalysis.tokenHash60(col("gram")).as("g"))
+      .select(col("id"), xxhash64(col("gram")).as("g"))
     val gOld = grams(corpus, n, idCol, textCol)
-      .select(col("id").as("oid"), graft.ops.TextAnalysis.tokenHash60(col("gram")).as("g"))
+      .select(col("id").as("oid"), xxhash64(col("gram")).as("g"))
     val nNew = gNew.groupBy(col("id")).agg(count(lit(1)).as("ngA"))
     val nOld = gOld.groupBy(col("oid")).agg(count(lit(1)).as("ngB"))
     // `maxGramDf` is the same hot-gram guard as ngramJaccardPairs', and it
