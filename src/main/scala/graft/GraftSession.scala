@@ -62,6 +62,10 @@ object GraftSession {
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       )
+      // pairs with the sink's SPARK_GRAFT_SINK_NOSORT A/B: concurrent
+      // dynamic-partition writers make the pre-write sort skippable
+      .config("spark.sql.maxConcurrentOutputFileWriters",
+        if (sys.env.get("SPARK_GRAFT_SINK_NOSORT").contains("1")) "128" else "0")
     val spark = parquetCodec
       .fold(builder0)(c => builder0.config("spark.sql.parquet.compression.codec", c))
       .getOrCreate()
