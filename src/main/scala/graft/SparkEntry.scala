@@ -73,7 +73,8 @@ object SparkEntry {
     "q50_incremental_dedup" -> (Queries.q50IncrementalDedup _),
     "q51_centroid_classify" -> (Queries.q51CentroidClassify _),
     "q52_assembly" -> (Queries.q52Assembly _),
-    "q53_ingest_curate" -> (Queries.q53IngestCurate _)
+    "q53_ingest_curate" -> (Queries.q53IngestCurate _),
+    "q54_span_removal" -> (Queries.q54SpanRemoval _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -779,6 +780,36 @@ object SparkEntry {
         |      FROM (SELECT *, string_split(text, ' ') AS w FROM s))
         |SELECT doc_id, source, md5(text) AS content_md5
         |FROM q WHERE quality >= 0.5
-        |  AND text NOT IN (SELECT text FROM k)""".stripMargin
+        |  AND text NOT IN (SELECT text FROM k)""".stripMargin,
+    // q54 mirror: duplicated 8-gram windows (q39's d-CTE), their covered
+    // token positions, rebuild each affected doc from the uncovered tokens
+    // in order; unaffected docs keep their original text (and md5).
+    "q54_span_removal" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i,
+        |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |        w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
+        |      FROM t, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 7),
+        |d AS (SELECT gram FROM g GROUP BY gram
+        |      HAVING count(DISTINCT doc_id) >= 2 AND count(*) >= 2),
+        |ds AS (SELECT doc_id, i FROM g JOIN d USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, i + off AS p
+        |        FROM ds, (SELECT unnest(generate_series(0, 7)) AS off) o),
+        |tok AS (SELECT t.doc_id, p.p, w[p.p] AS tok
+        |        FROM t, (SELECT unnest(generate_series(1,
+        |               (SELECT max(len(string_split(text, ' '))) FROM documents))) AS p) p
+        |        WHERE p.p <= len(w)),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+        |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |         WHERE cov.doc_id IS NULL),
+        |nt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ntext,
+        |         CAST(count(*) AS BIGINT) AS n_after
+        |       FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_before,
+        |  coalesce(n_after, 0) AS n_after,
+        |  md5(coalesce(ntext, '')) AS new_md5
+        |FROM t LEFT JOIN nt ON t.doc_id = nt.doc_id""".stripMargin
   )
 }

@@ -732,4 +732,43 @@ object Dedup {
     spans.join(dup, Seq("fp"))
       .select(col("id"), col("pos"), col("fp"), col("n_docs"), col("n_occ"))
   }
+
+  /** Substring dedup REMOVAL — the rewrite step `duplicateSpans` reports
+    * for (Lee et al. 2021's actual operation): every token covered by at
+    * least one duplicated k-window is excised and the document is rebuilt
+    * from the survivors in order (a fully-covered doc becomes the empty
+    * string; spacing normalizes to single spaces, which is the corpus
+    * convention). Returns (idCol, textCol) for EVERY input doc.
+    *
+    * Scale: only AFFECTED documents (those with ≥1 duplicated span — the
+    * boilerplate carriers, typically a small corpus fraction) pay the
+    * token explode + rebuild shuffle; every other doc passes through the
+    * narrow anti-join branch untouched. Covered positions travel as
+    * (id, int) pairs; the rebuild is one (id)-keyed aggregate whose
+    * array_sort runs per doc, not across docs.
+    */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dup = duplicateSpans(docs, k, minDocs, minOcc = 2, idCol, textCol)
+      .select(col("id"), col("pos"))
+    val affectedIds = dup.select(col("id")).distinct()
+      .withColumnRenamed("id", idCol)
+    val covered = dup.select(col("id"),
+      explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp")).distinct()
+    val affected = docs.join(affectedIds, Seq(idCol), "left_semi")
+    val toks = affected.select(col(idCol).as("id"),
+      posexplode(graft.ops.TextAnalysis.tokens(col(textCol))).as(Seq("tp", "tok")))
+    val rebuilt = toks.join(covered, Seq("id", "tp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok")), " ").as("_ntext"))
+      .withColumnRenamed("id", idCol)
+    val affectedOut = affected.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left") // fully-covered docs → no row → ""
+      .select(col(idCol), coalesce(col("_ntext"), lit("")).as(textCol))
+    docs.join(affectedIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol))
+      .unionByName(affectedOut)
+  }
 }

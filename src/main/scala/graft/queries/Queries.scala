@@ -589,6 +589,23 @@ object Queries {
       .select(col("doc_id"), col("source"), col("content_md5"))
   }
 
+  /** q54: substring-dedup removal — every doc's token counts before/after
+    * excising duplicated 8-token windows, plus the md5 of the REWRITTEN
+    * text (q40's convention: the oracle verifies the rewrite bit-for-bit,
+    * not just counts). The rewrite q39 reports on.
+    */
+  def q54SpanRemoval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val rewritten = graft.ops.Dedup.removeDuplicateSpans(docs, k = 8, minDocs = 2)
+    docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_before"))
+      .join(rewritten.select(col("doc_id"),
+        when(length(col("text")) === 0, 0L)
+          .otherwise(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("n_after"),
+        md5(col("text").cast("binary")).as("new_md5")), "doc_id")
+  }
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

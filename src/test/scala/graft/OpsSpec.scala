@@ -796,6 +796,54 @@ class OpsSpec extends SparkSpec {
     assert(diag > 0)
   }
 
+  test("removeDuplicateSpans == brute-force rebuild; full coverage → empty; unaffected byte-identical") {
+    import spark.implicits._
+    def model(rows: Seq[(Long, String)], k: Int): Map[Long, String] = {
+      val wins = rows.flatMap { case (id, t) =>
+        t.split(" ").sliding(k).filter(_.length == k).zipWithIndex
+          .map { case (win, i) => (id, i, win.mkString(" ")) }
+      }
+      val dup = wins.groupBy(_._3).filter { case (_, xs) =>
+        xs.map(_._1).distinct.size >= 2 && xs.size >= 2
+      }.keySet
+      val covered = wins.filter(w => dup(w._3))
+        .flatMap { case (id, i, _) => (i until i + k).map(p => (id, p)) }.toSet
+      rows.map { case (id, t) =>
+        id -> t.split(" ").zipWithIndex
+          .filterNot { case (_, p) => covered((id, p)) }.map(_._1).mkString(" ")
+      }.toMap
+    }
+    // synthetic: shared boilerplate in 10/11, doc 12 is NOTHING BUT the
+    // boilerplate (fully covered → empty), doc 13 untouched
+    val boiler = "terms of service apply to all visitors here"
+    val corpus = Seq(
+      (10L, s"$boiler unique alpha beta gamma delta epsilon zeta eta"),
+      (11L, s"other words first then $boiler trailing tail tokens end"),
+      (12L, boiler),
+      (13L, "entirely original content with no repeats at all present")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.removeDuplicateSpans(corpus, k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Seq(
+      (10L, s"$boiler unique alpha beta gamma delta epsilon zeta eta"),
+      (11L, s"other words first then $boiler trailing tail tokens end"),
+      (12L, boiler),
+      (13L, "entirely original content with no repeats at all present"))
+    assert(got == model(rows, 8))
+    assert(got(12L) == "", "fully-covered doc must become empty")
+    assert(got(13L) == rows(3)._2, "unaffected doc byte-identical")
+    assert(got(10L).nonEmpty && !got(10L).contains("terms of service"))
+    // fixture: operator == brute-force model over the real corpus
+    val fix = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val gotFix = graft.ops.Dedup.removeDuplicateSpans(docs, k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotFix == model(fix, 8))
+    assert(gotFix.exists { case (id, t) => t != fix.toMap.apply(id) },
+      "fixture's planted dup spans must rewrite some docs")
+    spark.catalog.clearCache()
+  }
+
   test("multimodal: deterministic features, fixed dim, partition-local") {
     val media = Multimodal.mediaFromDocuments(docs)
     val f1 = Multimodal.extractFeatures(media).toDF()
