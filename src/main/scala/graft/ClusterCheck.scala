@@ -28,7 +28,7 @@ object ClusterCheck {
     "q26_dedup_clusters", "q29_repetition", "q39_substring_dedup",
     "q43_knn_bucketed", "q44_pack_shards", "q45_mixture_balance",
     "q48_length_outliers", "q49_token_budget", "q51_centroid_classify",
-    "q52_assembly")
+    "q52_assembly", "q54_span_removal")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     val cols = df.columns.sorted
