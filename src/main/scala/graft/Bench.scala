@@ -81,7 +81,6 @@ object Bench {
     ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
     ChangeStreamReader.spoolSnapshot(spark, tableDir, streamDir, numFiles = 64)
     val n = ChangeStreamReader.batch(spark, streamDir).count()
-    graft.metrics.StageTimers.reset()
     val t0 = System.nanoTime()
     // trigger sized to the deployment's memory budget, not smaller:
     // per-batch fixed costs (cache materialization for the range sampler,
@@ -95,11 +94,24 @@ object Bench {
     val sec = (System.nanoTime() - t0) / 1e9
     // engine-level decomposition: sum each durationMs key across the rep's
     // micro-batches (addBatch = execute+write, walCommit/commitOffsets =
-    // offset log, latestOffset = source listing, …)
+    // offset log, latestOffset = source listing, …). recentProgress keeps
+    // only numRecentProgressUpdates entries (main() raises it for the bench
+    // session) — if a replay still exceeds the retention, say so in the
+    // artifact instead of silently under-reporting the stage totals.
     val engine = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
-    q.recentProgress.foreach(p =>
+    val progress = q.recentProgress
+    progress.foreach(p =>
       p.durationMs.forEach((k, v) => engine(k) = engine(k) + v.toDouble / 1e3))
-    val stages = engine.toMap ++ graft.metrics.StageTimers.snapshot()
+    val retention = spark.conf
+      .getOption("spark.sql.streaming.numRecentProgressUpdates").map(_.toInt)
+      .getOrElse(100)
+    if (progress.length >= retention) {
+      engine("progress_truncated") = 1.0
+      System.err.println(s"[bench] WARNING: $retention-entry progress retention " +
+        "reached — engine stage totals under-report the replay")
+    }
+    val stages = engine.toMap ++ graft.metrics.StageTimers.snapshot(outDir)
+    graft.metrics.StageTimers.reset(outDir)
     fs.delete(new org.apache.hadoop.fs.Path(streamDir), true)
     fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
     fs.delete(new org.apache.hadoop.fs.Path(ckDir), true)
@@ -169,6 +181,11 @@ object Bench {
     // explicitly instead of leaning on the ambiguous >6h heuristic
     sys.props.getOrElseUpdate("graft.replayMode", "true")
     val spark = GraftSession.local(cpus, "graft-bench")
+    // stage decomposition sums q.recentProgress — the default 100-entry
+    // retention silently drops micro-batches on long replays; 10k entries
+    // cover any replay this bench can produce (and replayOnce logs +flags
+    // the artifact if even that is hit)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
     // warmup: JIT + parquet footers, not recorded; a warmup failure must
     // not kill the run before the battery records it as a q1_agg error
@@ -215,7 +232,9 @@ object Bench {
     if (only.isDefined) {
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"only","queries":$qs0,"query_reps":$queryReps,"sf":"$sfDir","cpus":$cpus}""")
+      val line = s"""{"metric":"only","queries":$qs0,"query_reps":$queryReps,"sf":"$sfDir","cpus":$cpus}"""
+      println(line)
+      writeArtifact("BENCH/last_only.json", line)
       spark.stop()
       sys.exit(if (errors.nonEmpty) 3 else 0)
     }
@@ -284,9 +303,27 @@ object Bench {
       (Seq("replay_sec" -> r.sec) ++ r.stages.toSeq.sortBy(_._1))
         .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"query_reps":$queryReps,"sf":"$sfDir","cdc_turns_per_sec":${num(turnsTpsMedian, 0)},"cdc_events_per_sec":${num(epsMedian, 0)},"cdc_turns_per_sec_best":${num(turnsTpsBest, 0)},"cdc_events_per_sec_best":${num(epsBest, 0)},"cdc_turns":$nTurns,"cdc_reps_events_per_sec":$repsTps,"cdc_reps_replay_sec":$repsSec,"cdc_rep_stages":$repStages,"cdc_gen_sec":${num(genSec, 1)},"cdc_events":$nEvents,"alu_giters_per_sec":${num(alu, 2)},"mem_gbytes_per_sec":${num(memGBps, 1)},"cpus":$cpus}""")
+    val line =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"query_reps":$queryReps,"sf":"$sfDir","cdc_turns_per_sec":${num(turnsTpsMedian, 0)},"cdc_events_per_sec":${num(epsMedian, 0)},"cdc_turns_per_sec_best":${num(turnsTpsBest, 0)},"cdc_events_per_sec_best":${num(epsBest, 0)},"cdc_turns":$nTurns,"cdc_reps_events_per_sec":$repsTps,"cdc_reps_replay_sec":$repsSec,"cdc_rep_stages":$repStages,"cdc_gen_sec":${num(genSec, 1)},"cdc_events":$nEvents,"alu_giters_per_sec":${num(alu, 2)},"mem_gbytes_per_sec":${num(memGBps, 1)},"cpus":$cpus}"""
+    println(line)
+    writeArtifact("BENCH/last_bench.json", line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(3)
   }
+
+  /** Persist the one-line JSON in-repo: the driver's log tail truncates at
+    * 2,000 chars, which dropped q1–q45's times from BENCH_r05.json — the
+    * full battery must be reconstructible from the repo alone. Best-effort
+    * (a read-only checkout must not fail the bench).
+    */
+  private def writeArtifact(relPath: String, line: String): Unit =
+    try {
+      val p = java.nio.file.Paths.get(relPath)
+      Option(p.getParent).foreach(d => { java.nio.file.Files.createDirectories(d); () })
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      ()
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $relPath: ${e.getMessage}")
+    }
 }

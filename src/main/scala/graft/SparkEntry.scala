@@ -74,7 +74,10 @@ object SparkEntry {
     "q51_centroid_classify" -> (Queries.q51CentroidClassify _),
     "q52_assembly" -> (Queries.q52Assembly _),
     "q53_ingest_curate" -> (Queries.q53IngestCurate _),
-    "q54_span_removal" -> (Queries.q54SpanRemoval _)
+    "q54_span_removal" -> (Queries.q54SpanRemoval _),
+    "q55_incremental_indexed" -> (Queries.q55IncrementalIndexed _),
+    "q56_ingest_near" -> (Queries.q56IngestNear _),
+    "q57_ann_ivf_persisted" -> (Queries.q57AnnIvfPersisted _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -152,6 +155,39 @@ object SparkEntry {
       |      FROM embeddings e, q WHERE vec_id <> 0)
       |SELECT vec_id, round(c, 4) AS cosine FROM s
       |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin
+
+  /** q50/q55 mirror: cross-set exact (text equality) + 3-gram jaccard vs
+    * the corpus slice, on gram TEXT (the operators join 64-bit
+    * fingerprints — the q39/q46 collision trade). One definition serves
+    * both the recompute (q50) and stored-index (q55) paths, which are
+    * equal by construction.
+    */
+  private val incrementalDedupSql: String =
+    """WITH nw AS (SELECT doc_id, string_split(text, ' ') AS w, text
+      |           FROM documents WHERE doc_id % 10 = 3),
+      |old AS (SELECT doc_id, string_split(text, ' ') AS w, text
+      |        FROM documents WHERE doc_id % 10 <> 3),
+      |ex AS (SELECT DISTINCT nw.doc_id FROM nw
+      |       JOIN (SELECT DISTINCT text FROM old) o ON nw.text = o.text),
+      |gn AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |       FROM nw, (SELECT unnest(generate_series(1,
+      |              (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+      |       WHERE i <= len(w) - 2),
+      |go AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |       FROM old, (SELECT unnest(generate_series(1,
+      |              (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+      |       WHERE i <= len(w) - 2),
+      |nn AS (SELECT doc_id, count(*) AS ng FROM gn GROUP BY doc_id),
+      |no_ AS (SELECT doc_id, count(*) AS ng FROM go GROUP BY doc_id),
+      |near AS (SELECT DISTINCT c.nid FROM (
+      |           SELECT gn.doc_id AS nid, go.doc_id AS oid, count(*) AS inter
+      |           FROM gn JOIN go ON gn.gram = go.gram GROUP BY 1, 2) c
+      |         JOIN nn ON c.nid = nn.doc_id JOIN no_ ON c.oid = no_.doc_id
+      |         WHERE inter * 1.0 / (nn.ng + no_.ng - inter) >= 0.6)
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id % 10 = 3
+      |  AND doc_id NOT IN (SELECT doc_id FROM ex)
+      |  AND doc_id NOT IN (SELECT nid FROM near)""".stripMargin
 
   private val qualityExpr: String =
     """(least(1.0, len(w) * 1.0 / 100)
@@ -669,32 +705,46 @@ object SparkEntry {
     // q50 mirror: cross-set exact (text equality) + 3-gram jaccard vs the
     // corpus slice, on gram TEXT (the operator joins 60-bit fingerprints —
     // same q39/q46 collision trade).
-    "q50_incremental_dedup" ->
-      """WITH nw AS (SELECT doc_id, string_split(text, ' ') AS w, text
-        |           FROM documents WHERE doc_id % 10 = 3),
-        |old AS (SELECT doc_id, string_split(text, ' ') AS w, text
-        |        FROM documents WHERE doc_id % 10 <> 3),
-        |ex AS (SELECT DISTINCT nw.doc_id FROM nw
-        |       JOIN (SELECT DISTINCT text FROM old) o ON nw.text = o.text),
+    "q50_incremental_dedup" -> incrementalDedupSql,
+    // q55 = q50 through the STORED gram index — same definition, so the
+    // same mirror; the index-vs-recompute equivalence is additionally
+    // pinned in OpsSpec and the no-corpus-rescan plan in PlanSpec.
+    "q55_incremental_indexed" -> incrementalDedupSql,
+    // q57 = q15 through the PERSISTED IVF index — exact by construction,
+    // same brute-force mirror.
+    "q57_ann_ivf_persisted" -> annBruteSql,
+    // q56 mirror: the q53 curation chain + the near stage — curated docs
+    // sharing ≥0.6 3-gram jaccard with any distinct known text are dropped
+    // (grams on TEXT; the operator joins 64-bit fingerprints — the q39/q46
+    // collision trade).
+    "q56_ingest_near" ->
+      s"""WITH s AS (SELECT doc_id, source,
+        |    regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS text FROM documents),
+        |k AS (SELECT DISTINCT regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS text
+        |      FROM documents WHERE doc_id % 50 = 0),
+        |q AS (SELECT doc_id, source, text, round($qualityExpr, 4) AS quality
+        |      FROM (SELECT *, string_split(text, ' ') AS w FROM s)),
+        |cur AS (SELECT doc_id, source, text FROM q
+        |        WHERE quality >= 0.5 AND text NOT IN (SELECT text FROM k)),
+        |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM cur),
+        |kw AS (SELECT md5(text) AS kid, string_split(text, ' ') AS w FROM k),
         |gn AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
-        |       FROM nw, (SELECT unnest(generate_series(1,
+        |       FROM cw, (SELECT unnest(generate_series(1,
         |              (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
         |       WHERE i <= len(w) - 2),
-        |go AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
-        |       FROM old, (SELECT unnest(generate_series(1,
+        |gk AS (SELECT DISTINCT kid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |       FROM kw, (SELECT unnest(generate_series(1,
         |              (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
         |       WHERE i <= len(w) - 2),
         |nn AS (SELECT doc_id, count(*) AS ng FROM gn GROUP BY doc_id),
-        |no_ AS (SELECT doc_id, count(*) AS ng FROM go GROUP BY doc_id),
-        |near AS (SELECT DISTINCT c.nid FROM (
-        |           SELECT gn.doc_id AS nid, go.doc_id AS oid, count(*) AS inter
-        |           FROM gn JOIN go ON gn.gram = go.gram GROUP BY 1, 2) c
-        |         JOIN nn ON c.nid = nn.doc_id JOIN no_ ON c.oid = no_.doc_id
-        |         WHERE inter * 1.0 / (nn.ng + no_.ng - inter) >= 0.6)
-        |SELECT doc_id, source FROM documents
-        |WHERE doc_id % 10 = 3
-        |  AND doc_id NOT IN (SELECT doc_id FROM ex)
-        |  AND doc_id NOT IN (SELECT nid FROM near)""".stripMargin,
+        |nk AS (SELECT kid, count(*) AS ng FROM gk GROUP BY kid),
+        |near AS (SELECT DISTINCT c.doc_id FROM (
+        |           SELECT gn.doc_id, gk.kid, count(*) AS inter
+        |           FROM gn JOIN gk ON gn.gram = gk.gram GROUP BY 1, 2) c
+        |         JOIN nn ON c.doc_id = nn.doc_id JOIN nk ON c.kid = nk.kid
+        |         WHERE inter * 1.0 / (nn.ng + nk.ng - inter) >= 0.6)
+        |SELECT doc_id, source, md5(text) AS content_md5 FROM cur
+        |WHERE doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin,
     // q51 mirror: the same sparse hashed-embedding projection as q22's
     // mirror (t/g/gd/sp), then exact-integer per-source centroids and
     // per-(doc, source) dots; argmax orders by the ROUNDED projection

@@ -74,21 +74,53 @@ object Metrics {
   */
 object StageTimers {
   import java.util.concurrent.atomic.AtomicLong
-  val writeNs = new AtomicLong()
-  val lineageNs = new AtomicLong()
-  val commitNs = new AtomicLong()
-  val batches = new AtomicLong()
 
-  def reset(): Unit = {
-    writeNs.set(0); lineageNs.set(0); commitNs.set(0); batches.set(0)
+  /** One pipeline's counters. Keyed by the sink's `outDir` (the same
+    * per-pipeline key LatencyMonitor uses), so two concurrent pipelines in
+    * one JVM — which the sink and LatencyMonitor explicitly support — never
+    * interleave their stage totals, and a bench rep's reset cannot race
+    * another active pipeline's accumulation.
+    */
+  private final class Timers {
+    val writeNs = new AtomicLong()
+    val lineageNs = new AtomicLong()
+    val commitNs = new AtomicLong()
+    val batches = new AtomicLong()
   }
 
-  /** Stage totals in seconds + batch count since the last reset. */
-  def snapshot(): Map[String, Double] = Map(
-    "sink_write" -> writeNs.get / 1e9,
-    "lineage_agg" -> lineageNs.get / 1e9,
-    "sink_commit" -> commitNs.get / 1e9,
-    "batches" -> batches.get.toDouble)
+  private val byPipeline =
+    new java.util.concurrent.ConcurrentHashMap[String, Timers]()
+
+  private def timers(pipeline: String): Timers =
+    byPipeline.computeIfAbsent(pipeline, _ => new Timers)
+
+  def addWrite(pipeline: String, ns: Long): Unit = {
+    timers(pipeline).writeNs.addAndGet(ns); ()
+  }
+  def addLineage(pipeline: String, ns: Long): Unit = {
+    timers(pipeline).lineageNs.addAndGet(ns); ()
+  }
+  def addCommit(pipeline: String, ns: Long): Unit = {
+    timers(pipeline).commitNs.addAndGet(ns); ()
+  }
+  def batchDone(pipeline: String): Unit = {
+    timers(pipeline).batches.incrementAndGet(); ()
+  }
+
+  /** Drop one pipeline's counters (bench reps use unique outDirs; this
+    * bounds the map).
+    */
+  def reset(pipeline: String): Unit = { byPipeline.remove(pipeline); () }
+
+  /** One pipeline's stage totals in seconds + batch count. */
+  def snapshot(pipeline: String): Map[String, Double] = {
+    val t = timers(pipeline)
+    Map(
+      "sink_write" -> t.writeNs.get / 1e9,
+      "lineage_agg" -> t.lineageNs.get / 1e9,
+      "sink_commit" -> t.commitNs.get / 1e9,
+      "batches" -> t.batches.get.toDouble)
+  }
 }
 
 /** Per-event source-latency monitor (≙ reference

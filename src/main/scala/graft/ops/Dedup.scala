@@ -355,21 +355,92 @@ object Dedup {
     */
   def incrementalDedupIds(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
       threshold: Double = 0.6, maxGramDf: Int = Int.MaxValue,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val newHash = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
-    val corpusHash = corpus.select(md5(col(textCol)).as("h")).distinct()
-    val exactSurvivors = newHash.join(corpusHash, Seq("h"), "left_anti")
-      .select(col("id"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    incrementalDedupIdsIndexed(newDocs, gramIndexOf(corpus, n, idCol, textCol),
+      threshold, maxGramDf, idCol, textCol)
+
+  /** The corpus-side state `incrementalDedupIds` joins against: the
+    * distinct content md5 set (exact stage), the gram-hash inverted index
+    * (oid, g), per-doc gram counts, and per-gram document frequency. Built
+    * inline by `gramIndexOf` (self-contained recompute) or loaded AT REST
+    * by `readGramIndex` — the form a daily pipeline actually runs, where
+    * re-scanning and re-hashing 100 TB of corpus text per day-sized batch
+    * would dominate the whole job. Both paths feed the identical join
+    * algebra, so index == recompute by construction (and OpsSpec pins it).
+    */
+  final case class GramIndex(md5s: DataFrame, grams: DataFrame,
+      counts: DataFrame, gramDf: DataFrame, n: Int)
+
+  /** Build the corpus gram index inline (one corpus scan; every output is
+    * 8-byte hashes + ids — text never leaves the scan).
+    */
+  def gramIndexOf(corpus: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): GramIndex = {
+    val md5s = corpus.select(md5(col(textCol)).as("h")).distinct()
     // grams() is already distinct-per-doc, so the hashed streams are too
     // (a within-doc hash collision would need ~2^32 grams in one doc);
     // xxhash64 per the q11/q12 re-key convention — internal join key only,
     // the oracle joins gram text
-    val gNew = grams(newDocs, n, idCol, textCol)
-      .select(col("id"), xxhash64(col("gram")).as("g"))
-    val gOld = grams(corpus, n, idCol, textCol)
+    val g = grams(corpus, n, idCol, textCol)
       .select(col("id").as("oid"), xxhash64(col("gram")).as("g"))
+    val counts = g.groupBy(col("oid")).agg(count(lit(1)).as("ngB"))
+    val df = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    GramIndex(md5s, g, counts, df, n)
+  }
+
+  /** Persist the corpus gram index: four parquet tables + an `n` sidecar
+    * (`meta.json`, real JSON — `readGramIndex` refuses a gram-size
+    * mismatch loudly instead of silently joining 3-gram hashes against a
+    * 5-gram index). Postings are repartitioned by `g` so each file holds a
+    * contiguous hash range — at 100 TB this is the bucketed-table layout
+    * that lets the daily join shuffle only the day-sized batch side.
+    */
+  def writeGramIndex(corpus: DataFrame, dir: String, n: Int = 3,
+      numPostingFiles: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val idx = gramIndexOf(corpus, n, idCol, textCol)
+    idx.md5s.write.mode("overwrite").parquet(s"$dir/md5")
+    idx.grams.repartition(numPostingFiles, col("g"))
+      .write.mode("overwrite").parquet(s"$dir/grams")
+    idx.counts.write.mode("overwrite").parquet(s"$dir/counts")
+    idx.gramDf.write.mode("overwrite").parquet(s"$dir/gramdf")
+    graft.util.FsText.write(corpus.sparkSession,
+      s"$dir/meta.json", s"""{"n":$n,"format":"graft-gram-index-v1"}""")
+  }
+
+  /** Load a stored gram index (see `writeGramIndex`). */
+  def readGramIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): GramIndex = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val metaSchema = StructType(Seq(
+      StructField("n", IntegerType), StructField("format", StringType)))
+    val meta = spark.read.schema(metaSchema).json(s"$dir/meta.json").collect()
+    require(meta.length == 1 && !meta(0).isNullAt(0) &&
+        meta(0).getString(1) == "graft-gram-index-v1",
+      s"$dir/meta.json is not a graft gram-index sidecar")
+    GramIndex(
+      spark.read.parquet(s"$dir/md5"),
+      spark.read.parquet(s"$dir/grams"),
+      spark.read.parquet(s"$dir/counts"),
+      spark.read.parquet(s"$dir/gramdf"),
+      meta(0).getInt(0))
+  }
+
+  /** `incrementalDedupIds` against a prebuilt/stored corpus index — the
+    * daily-runnable form: only the NEW batch's text is scanned and hashed;
+    * the corpus side contributes pre-hashed postings and counts.
+    */
+  def incrementalDedupIdsIndexed(newDocs: DataFrame, idx: GramIndex,
+      threshold: Double = 0.6, maxGramDf: Int = Int.MaxValue,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newHash = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
+    val exactSurvivors = newHash.join(idx.md5s, Seq("h"), "left_anti")
+      .select(col("id"))
+    val gNew = grams(newDocs, idx.n, idCol, textCol)
+      .select(col("id"), xxhash64(col("gram")).as("g"))
+    val gOld = idx.grams
     val nNew = gNew.groupBy(col("id")).agg(count(lit(1)).as("ngA"))
-    val nOld = gOld.groupBy(col("oid")).agg(count(lit(1)).as("ngB"))
+    val nOld = idx.counts
     // `maxGramDf` is the same hot-gram guard as ngramJaccardPairs', and it
     // matters MORE here: a corpus-wide boilerplate gram joins every new
     // doc containing it against its whole corpus-side posting list. Hot
@@ -382,8 +453,7 @@ object Dedup {
       gNew.join(gOld, "g")
         .groupBy(col("id"), col("oid")).agg(count(lit(1)).as("inter"))
     } else {
-      val hot = gOld.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .where(col("df") > maxGramDf).select(col("g"))
+      val hot = idx.gramDf.where(col("df") > maxGramDf).select(col("g"))
       val cand = gNew.join(broadcast(hot), Seq("g"), "left_anti")
         .join(gOld.join(broadcast(hot), Seq("g"), "left_anti"), "g")
         .select(col("id"), col("oid")).distinct()

@@ -329,16 +329,23 @@ object Similarity {
 
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, IvfModel) = {
-    val src = scala.io.Source.fromFile(s"$dir/model.json")
-    val lines = try src.getLines().toSeq finally src.close()
-    val parsed = lines.map { l =>
-      val cid = """"cid":(\d+)""".r.findFirstMatchIn(l).get.group(1).toInt
-      val radius = """"radius":([-0-9.eE]+)""".r.findFirstMatchIn(l).get.group(1).toDouble
-      val cent = """"centroid":\[([^\]]*)\]""".r.findFirstMatchIn(l).get.group(1)
-        .split(",").map(_.toDouble)
-      (cid, radius, cent)
-    }.sortBy(_._1)
-    val model = IvfModel(parsed.map(_._3).toArray, parsed.map(_._2).toArray)
+    // a REAL JSON parse of the NDJSON sidecar (schema-pinned, _corrupt_
+    // records rejected loudly) — not a regex over the writer's formatting
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("cid", IntegerType), StructField("radius", DoubleType),
+      StructField("centroid", ArrayType(DoubleType))))
+    val rows = spark.read.schema(schema)
+      .option("mode", "FAILFAST").json(s"$dir/model.json").collect()
+    require(rows.nonEmpty &&
+        rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)),
+      s"$dir/model.json is not an IVF model sidecar")
+    val parsed = rows
+      .map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    require(parsed.map(_._1).toSeq == parsed.indices.toSeq,
+      s"$dir/model.json: cids must be exactly 0..${parsed.length - 1}")
+    val model = IvfModel(parsed.map(_._3), parsed.map(_._2))
     (spark.read.parquet(s"$dir/index"), model)
   }
 

@@ -210,12 +210,15 @@ object TextAnalysis {
     require(k > 0, s"k must be positive, got $k")
     val x = docs.select(col(idCol), col(strataCol),
       tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val stats = x.groupBy(col(strataCol)).agg(
-      count(lit(1)).as("n"), sum(col("n_tokens")).as("s1"),
-      sum(col("n_tokens") * col("n_tokens")).as("s2"))
-    // cast BEFORE multiplying: n·s2 alone reaches ~10²⁴ at corpus scale —
-    // a long product would wrap before the decimal cast could save it
+    // cast BEFORE multiplying — EVERYWHERE, including inside the sums:
+    // sum(n_tokens²) in LongType wraps silently (non-ANSI) at ~10¹¹ docs
+    // of 10⁴ tokens, and n·s2 alone reaches ~10²⁴ at corpus scale. The
+    // aggregates themselves run in decimal(38,0), mirroring the oracle's
+    // HUGEINT sums.
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val stats = x.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n"), sum(dec(col("n_tokens"))).as("s1"),
+      sum(dec(col("n_tokens")) * dec(col("n_tokens"))).as("s2"))
     val dev = dec(col("n")) * dec(col("n_tokens")) - dec(col("s1"))
     val variance = dec(col("n")) * dec(col("s2")) - dec(col("s1")) * dec(col("s1"))
     x.join(broadcast(stats), strataCol)

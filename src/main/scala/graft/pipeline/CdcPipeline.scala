@@ -41,7 +41,7 @@ object CdcPipeline {
     try {
       var t0 = System.nanoTime()
       sink.writeBatch(batchId, keyed)
-      graft.metrics.StageTimers.writeNs.addAndGet(System.nanoTime() - t0)
+      graft.metrics.StageTimers.addWrite(sink.outDir, System.nanoTime() - t0)
       // ONE aggregate computes both the commit lineage and the per-batch
       // source-latency stats (reference CDCMonitor's 10 s warn) — merging
       // them saves a full pass over the cached batch per micro-batch
@@ -60,7 +60,7 @@ object CdcPipeline {
           count(when(lat > alertMs, 1)).as("late"),
           count(col("source.ts_ms")).as("latN"))
         .collect()
-      graft.metrics.StageTimers.lineageNs.addAndGet(System.nanoTime() - t0)
+      graft.metrics.StageTimers.addLineage(sink.outDir, System.nanoTime() - t0)
       val lineage = rows.map(r =>
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       if (alertMs > 0 && rows.nonEmpty) {
@@ -76,9 +76,8 @@ object CdcPipeline {
       }
       t0 = System.nanoTime()
       sink.commit(batchId, lineage)
-      graft.metrics.StageTimers.commitNs.addAndGet(System.nanoTime() - t0)
-      graft.metrics.StageTimers.batches.incrementAndGet()
-      ()
+      graft.metrics.StageTimers.addCommit(sink.outDir, System.nanoTime() - t0)
+      graft.metrics.StageTimers.batchDone(sink.outDir)
     } finally { keyed.unpersist(); () }
   }
 

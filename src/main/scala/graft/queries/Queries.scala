@@ -606,6 +606,78 @@ object Queries {
         md5(col("text").cast("binary")).as("new_md5")), "doc_id")
   }
 
+  /** Content-addressed on-disk index shared across a session's queries
+    * (q55/q57): built once per (sfDir, kind) under a `_done` marker —
+    * the driver test tables are immutable, so path-addressing is safe,
+    * and the query then measures the INDEXED path (probe/join against
+    * the at-rest index), not a rebuild.
+    */
+  private def ensureIndexDir(spark: SparkSession, sfDir: String,
+      kind: String)(build: String => Unit): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = s"/tmp/graft-index-$kind-$safe"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_done")
+    if (!fs.exists(marker)) {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      build(dir)
+      fs.createNewFile(marker)
+      ()
+    }
+    dir
+  }
+
+  /** q55: q50's incremental dedup through the STORED corpus gram index —
+    * the daily-runnable form: the corpus (doc_id % 10 ≠ 3) is indexed once
+    * at rest (`writeGramIndex`); the new batch joins pre-hashed postings
+    * without ever re-scanning corpus text. Same result as q50 by
+    * construction (OpsSpec pins index == recompute; PlanSpec pins the
+    * no-corpus-rescan property).
+    */
+  def q55IncrementalIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val nw = docs.where(col("doc_id") % 10 === 3)
+    val dir = ensureIndexDir(spark, sfDir, "gram-old-n3") { d =>
+      graft.ops.Dedup.writeGramIndex(
+        docs.where(col("doc_id") % 10 =!= 3), d, n = 3)
+    }
+    val idx = graft.ops.Dedup.readGramIndex(spark, dir)
+    nw.join(graft.ops.Dedup.incrementalDedupIdsIndexed(nw, idx, threshold = 0.6),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** q56: q53's ingest curation plus the NEAR-dup stage — curated docs
+    * sharing ≥ 0.6 3-gram jaccard with any known-corpus text are dropped
+    * too (the stage the streaming ingest runs per micro-batch when
+    * `nearThreshold` is set), so near-verbatim re-crawls die in-stream.
+    */
+  def q56IngestNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val known = docs.where(col("doc_id") % 50 === 0)
+      .select(graft.ops.TextAnalysis.scrub(col("text")).as("text"))
+    graft.pipeline.CorpusIngest.curateNear(docs, known, minQuality = 0.5,
+        nearThreshold = 0.6)
+      .select(col("doc_id"), col("source"), col("content_md5"))
+  }
+
+  /** q57: q15's exact IVF top-k through the PERSISTED index — built once
+    * via `writeIvfIndex` (cid-partitioned parquet + JSON model sidecar),
+    * probed via `readIvfIndex` + `ivfSearch`, so the at-rest round-trip
+    * sits under the same brute-force oracle as the inline path and the
+    * probe is a partition-pruned read (PlanSpec).
+    */
+  def q57AnnIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIndexDir(spark, sfDir, "ivf-64") { d =>
+      graft.ops.Similarity.writeIvfIndex(table(spark, sfDir, "embeddings"), d,
+        nlist = 64)
+      ()
+    }
+    val (index, model) = graft.ops.Similarity.readIvfIndex(spark, dir)
+    graft.ops.Similarity.ivfSearch(index, model, queryVec(spark, sfDir, 0L),
+      k = 10, nProbe = 4, excludeId = Some(0L))
+  }
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

@@ -264,9 +264,11 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
         // every committed batch is EMPTY (legal: a stream whose batches
         // were fully filtered commits dirs with no part files, so parquet
         // has nothing to infer a schema from) — committed content is
-        // genuinely absent, which is exactly what None means
+        // genuinely absent, which is exactly what None means. Matched on
+        // the error CONDITION, not the message text, which is
+        // Spark-version-dependent phrasing.
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+            if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) => None
       }
     }
   }
@@ -352,7 +354,7 @@ final class ExactlyOnceSink(spark: SparkSession, val outDir: String,
         .drop("batch")) // partition-discovery column of the source dirs
     } catch {
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+          if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) => None
     }
     src match {
       case Some(df) => writeDir(staging, df)

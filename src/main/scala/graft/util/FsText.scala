@@ -14,4 +14,15 @@ object FsText {
       new String(buf.toByteArray, "UTF-8")
     } finally in.close()
   }
+
+  /** Write a small text file through the session's Hadoop FS (works on any
+    * supported filesystem URI, spaces included — the r5 raw-URI lesson).
+    */
+  def write(spark: org.apache.spark.sql.SparkSession, path: String,
+      text: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
 }

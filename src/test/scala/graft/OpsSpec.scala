@@ -753,6 +753,30 @@ class OpsSpec extends SparkSpec {
     assert(capped == expect, "capped == uncapped incremental survivors")
   }
 
+  test("gram index: stored-index path == recompute path; sidecar validated") {
+    val nw = docs.where(col("doc_id") % 10 === 3)
+    val old = docs.where(col("doc_id") % 10 =!= 3)
+    val dir = tmpDir("gramidx")
+    Dedup.writeGramIndex(old, s"$dir/idx", n = 3)
+    val idx = Dedup.readGramIndex(spark, s"$dir/idx")
+    assert(idx.n == 3)
+    val viaIndex = Dedup.incrementalDedupIdsIndexed(nw, idx)
+      .collect().map(_.getLong(0)).toSet
+    val recompute = Dedup.incrementalDedupIds(nw, old)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIndex == recompute && viaIndex.nonEmpty,
+      s"index path must equal recompute path: ${viaIndex.size} vs ${recompute.size}")
+    // the hot-gram cap consults the STORED df table, same survivors here
+    // (the fixture has no pair relying exclusively on boilerplate grams)
+    val capped = Dedup.incrementalDedupIdsIndexed(nw, idx, maxGramDf = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == recompute, "capped == uncapped through the stored index")
+    // a mangled sidecar fails loudly — silently joining 3-gram hashes
+    // against an unknown-n index would corrupt every jaccard
+    graft.util.FsText.write(spark, s"$dir/idx/meta.json", """{"oops":1}""")
+    intercept[IllegalArgumentException](Dedup.readGramIndex(spark, s"$dir/idx"))
+  }
+
   test("centroidClassify == independent md5 sparse-vector model") {
     import graft.ops.Corpus
     import graft.functions.HashingKernels
@@ -781,13 +805,23 @@ class OpsSpec extends SparkSpec {
         .map { case (d, xs) => d -> xs.map(_._2).sum }.filter(_._2 != 0L)
     }
     val cn2 = cents.map { case (s, c) => s -> c.values.map(v => v * v).sum }
-    val expect = vecs.map { case (id, _, v) =>
-      id -> cents.keys.toSeq.filter(s => cn2(s) > 0).map { s =>
-        val dot = v.map { case (d, x) => x * cents(s).getOrElse(d, 0L) }.sum
-        val score = BigDecimal(dot / math.sqrt(cn2(s).toDouble))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (s, score)
-      }.minBy { case (s, sc) => (-sc, s) }._1
+    // the operator's dot join is INNER on dim: a stratum sharing no
+    // nonzero dimension with the doc never enters the argmax (documented
+    // contract — such a stratum has zero evidence either way). The model
+    // must apply the same exclusion, or a corpus where every PRESENT score
+    // is negative would diverge (ADVICE r5).
+    val expect = vecs.flatMap { case (id, _, v) =>
+      val scored = cents.keys.toSeq
+        .filter(s => cn2(s) > 0 && v.keys.exists(d => cents(s).contains(d)))
+        .map { s =>
+          val dot = v.map { case (d, x) => x * cents(s).getOrElse(d, 0L) }.sum
+          val score = BigDecimal(dot / math.sqrt(cn2(s).toDouble))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (s, score)
+        }
+      // a doc sharing no dimension with ANY stratum is unclassifiable and
+      // dropped by the operator too
+      scored.sortBy { case (s, sc) => (-sc, s) }.headOption.map(p => id -> p._1)
     }.toMap
     assert(got == expect, s"preds: got ${got.size}, want ${expect.size}")
     // the planted per-source vocabulary overlap means SOME docs classify
