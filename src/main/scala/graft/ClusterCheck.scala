@@ -28,7 +28,10 @@ object ClusterCheck {
     "q26_dedup_clusters", "q29_repetition", "q39_substring_dedup",
     "q43_knn_bucketed", "q44_pack_shards", "q45_mixture_balance",
     "q48_length_outliers", "q49_token_budget", "q51_centroid_classify",
-    "q52_assembly", "q54_span_removal")
+    "q52_assembly", "q54_span_removal",
+    // at-rest index round-trips read from SEPARATE executor JVMs (the
+    // stored gram index and the cid-partitioned IVF index)
+    "q55_incremental_indexed", "q57_ann_ivf_persisted")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     val cols = df.columns.sorted
@@ -84,8 +87,53 @@ object ClusterCheck {
         false
     }
     if (!cdcOk) failed += 1
+    // Streaming corpus ingestion under separate executor JVMs: file stream
+    // → curate (scrub/quality/known anti-join) → NEAR-dup stage (gram-index
+    // joins crossing real serialization boundaries) → in-stream dedup →
+    // exactly-once manifest sink → readCommitted, compared against the
+    // deterministic batch form of the same curation (the streaming==batch
+    // invariant CorpusIngestSpec pins in local mode, here proven beyond
+    // one JVM).
+    import org.apache.spark.sql.functions.col
+    val ingestOk = try {
+      val base = s"/tmp/graft-clustercheck-ingest-${System.nanoTime()}"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(col("doc_id") < 300)
+      val known = docs.where(col("doc_id") % 50 === 0)
+        .select(graft.ops.TextAnalysis.scrub(col("text")).as("text"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      Seq("f1" -> docs.where(col("doc_id") < 150),
+          "f2" -> docs.where(col("doc_id") >= 150)).foreach { case (name, df) =>
+        val tmp = s"$base/.tmp-$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/stream"))
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$base/stream/$name.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      graft.pipeline.CorpusIngest.start(spark, s"$base/stream", docs.schema,
+        known, s"$base/out", s"$base/ck", minQuality = 0.5,
+        maxFilesPerTrigger = 1, nearThreshold = Some(0.6))
+        .awaitTermination()
+      val sink = new graft.sink.ExactlyOnceSink(spark, s"$base/out")
+      val got = sink.readCommitted("events").get
+        .select("content_md5").collect().map(_.getString(0)).toSet
+      val want = graft.pipeline.CorpusIngest
+        .curateNear(docs, known, minQuality = 0.5, nearThreshold = 0.6)
+        .dropDuplicates("content_md5")
+        .select("content_md5").collect().map(_.getString(0)).toSet
+      val ok = got == want && got.nonEmpty
+      println(s"[clustercheck] ingest_replay ${if (ok) "OK" else "MISMATCH"} rows=${got.size}")
+      ok
+    } catch {
+      case e: Throwable =>
+        println(s"[clustercheck] ingest_replay FAILED ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(160)}")
+        false
+    }
+    if (!ingestOk) failed += 1
     spark.stop()
-    println(s"[clustercheck] ${Subset.size + 1 - failed}/${Subset.size + 1} equal to local-mode/oracle")
+    println(s"[clustercheck] ${Subset.size + 2 - failed}/${Subset.size + 2} equal to local-mode/oracle")
     if (failed > 0) sys.exit(3)
   }
 }

@@ -179,7 +179,13 @@ object Corpus {
     * across strata so argmax is unaffected but the emitted score stays
     * q22-convention comparable); argmax ties break on stratum name. Docs
     * whose embedding is all-zero (< n tokens) are unclassifiable and
-    * dropped, like every hashed-embedding operator here.
+    * dropped, like every hashed-embedding operator here. CONTRACT: the
+    * dot join is INNER on dim, so a stratum sharing NO nonzero dimension
+    * with the doc is excluded from that doc's argmax (it has zero evidence
+    * either way — it does not enter as score 0, which would otherwise win
+    * over all-negative present scores); a doc sharing no dimension with
+    * ANY stratum is dropped entirely. OpsSpec's model and the DuckDB
+    * mirror both encode these semantics.
     *
     * Scale: the sparse explode is narrow; centroids are (strata × dims)
     * rows — broadcast back; scores shuffle (id, stratum, partial-dot)

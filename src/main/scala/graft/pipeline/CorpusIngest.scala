@@ -65,8 +65,11 @@ object CorpusIngest {
     */
   def knownGramIndex(known: DataFrame, n: Int = 3,
       textCol: String = "text"): Dedup.GramIndex = {
-    val docs = known.select(col(textCol).as("text")).distinct()
-      .select(md5(col("text")).as("kid"), col("text"))
+    // dedupe by the 16-byte content hash, not by raw text — the exchange
+    // then partitions on kid (q11/q12 hash-key convention; distinct(text)
+    // would key a corpus-wide shuffle by the text itself)
+    val docs = known.select(md5(col(textCol)).as("kid"), col(textCol).as("text"))
+      .dropDuplicates("kid")
     Dedup.gramIndexOf(docs, n, idCol = "kid", textCol = "text")
   }
 

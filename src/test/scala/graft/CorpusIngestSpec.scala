@@ -77,6 +77,110 @@ class CorpusIngestSpec extends SparkSpec {
     got.unpersist(); want.unpersist(); after.unpersist()
   }
 
+  test("near-dup stage: a paraphrased known doc is dropped in-stream; streaming == batch") {
+    import spark.implicits._
+    val dir = tmpDir("cn-docs"); val out = tmpDir("cn-out"); val ck = tmpDir("cn-ck")
+    // a long shared base so the paraphrase keeps jaccard >= 0.6 while
+    // clearing the 0.5 quality gate (diverse letter-only vocabulary)
+    val base = (0 until 60).map(i =>
+      s"tok${('a' + i / 26).toChar}${('a' + i % 26).toChar}base").mkString(" ")
+    val knownText = base + " ending alpha beta gamma"
+    val paraphrase = base + " ending delta epsilon zeta"  // near-dup of known
+    val fresh = (0 until 60).map(i =>
+      s"new${('a' + i % 26).toChar}${('a' + i / 26).toChar}word").mkString(" ") +
+      " totally different content"
+    val known = Seq(knownText).toDF("text")
+    val batch = Seq((1L, "src0", knownText),   // exact dup of known
+                    (2L, "src0", paraphrase),  // NEAR dup — only the near stage drops it
+                    (3L, "src1", fresh))       // survives
+      .toDF("doc_id", "source", "text")
+    writeSlice(dir, "b1", batch)
+    val q = CorpusIngest.start(spark, dir, batch.schema, known, out, ck,
+      minQuality = 0.3, nearThreshold = Some(0.6))
+    q.awaitTermination()
+    val sink = new ExactlyOnceSink(spark, out)
+    val got = sink.readCommitted("events").get
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L),
+      "exact dup dropped by curate, paraphrase by the near stage, fresh kept")
+    // streaming == batch: the curateNear batch form computes the same set
+    val want = CorpusIngest.curateNear(batch, known, minQuality = 0.3,
+      nearThreshold = 0.6)
+    assert(want.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+    // without the near stage the paraphrase would have flowed through —
+    // the stage is load-bearing, not vacuous
+    val withoutNear = CorpusIngest.curate(batch, known, minQuality = 0.3)
+    assert(withoutNear.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+  }
+
+  test("near-dup stage via a STORED gram index == inline index (exactly-once intact)") {
+    import spark.implicits._
+    val dir = tmpDir("cni-docs"); val out = tmpDir("cni-out"); val ck = tmpDir("cni-ck")
+    val idxDir = s"${tmpDir("cni-idx")}/idx"
+    val known = docs.where(col("doc_id") % 50 === 0)
+      .select(TextAnalysis.scrub(col("text")).as("text"))
+    // the stored index over the SAME keying the inline path uses
+    graft.ops.Dedup.writeGramIndex(
+      known.select(md5(col("text")).as("kid"), col("text")).dropDuplicates("kid"),
+      idxDir, n = 3, idCol = "kid")
+    val first = docs.where(col("doc_id") < 400)
+    writeSlice(dir, "f1", first)
+    CorpusIngest.start(spark, dir, docs.schema, known, out, ck,
+      minQuality = 0.5, nearThreshold = Some(0.6), nearIndexDir = Some(idxDir))
+      .awaitTermination()
+    val sink = new ExactlyOnceSink(spark, out)
+    val got = sink.readCommitted("events").get
+    val want = CorpusIngest.curateNear(first, known, minQuality = 0.5,
+      nearThreshold = 0.6).dropDuplicates("content_md5")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.select("content_md5").collect().map(_.getString(0)).toSet ==
+      want.select("content_md5").collect().map(_.getString(0)).toSet,
+      "stored-index streaming near stage == batch curateNear")
+    // rerun is still a no-op with the near stage on
+    CorpusIngest.start(spark, dir, docs.schema, known, out, ck,
+      minQuality = 0.5, nearThreshold = Some(0.6), nearIndexDir = Some(idxDir))
+      .awaitTermination()
+    assert(sink.readCommitted("events").get.count() == got.count())
+  }
+
+  test("event-time watermark bounds the in-stream dedup state across batches") {
+    import spark.implicits._
+    val dir = tmpDir("cw-docs"); val out = tmpDir("cw-out"); val ck = tmpDir("cw-ck")
+    val known = Seq.empty[String].toDF("text")
+    def mkDocs(day: Int, n: Int): DataFrame =
+      (0 until n).map { i =>
+        val id = day * 1000L + i
+        // letter-only unique (doc, day) tag in every token: scrub must not
+        // collapse texts (digits would mask to <NUM>) and no two docs may
+        // share content, or the in-stream dedup eats them
+        val tag = s"u${('a' + i / 26).toChar}${('a' + i % 26).toChar}${('a' + day).toChar}"
+        val text = (0 until 40).map(j =>
+          s"w${('a' + (i + j) % 26).toChar}${('a' + (j * 3) % 26).toChar}$tag").mkString(" ")
+        (id, s"src${i % 2}", text,
+          java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 00:00:00"))
+      }.toDF("doc_id", "source", "text", "ts")
+    val schema = mkDocs(1, 1).schema
+    // three files, three days apart, one file per trigger → the watermark
+    // advances between micro-batches and EXPIRES prior days' dedup state
+    writeSlice(dir, "d1", mkDocs(1, 50))
+    writeSlice(dir, "d2", mkDocs(4, 50))
+    writeSlice(dir, "d3", mkDocs(7, 50))
+    val q = CorpusIngest.start(spark, dir, schema, known, out, ck,
+      minQuality = 0.0, maxFilesPerTrigger = 1,
+      eventTimeCol = Some("ts"), dedupWatermark = "24 hours")
+    q.awaitTermination()
+    // boundedness is the claim: the unbounded dropDuplicates would end at
+    // exactly 150 rows; with the watermark, expired days leave the store
+    // so no batch ever holds all three days
+    val stateSeries = q.recentProgress.flatMap(p => Option(p.stateOperators))
+      .filter(_.nonEmpty).map(_.head.numRowsTotal).toSeq
+    assert(stateSeries.exists(_ > 0) && stateSeries.max <= 100,
+      s"state must never hold all 150 hashes: $stateSeries")
+    // content still exactly-once: every doc distinct, all 150 committed
+    val sink = new ExactlyOnceSink(spark, out)
+    assert(sink.readCommitted("events").get.count() == 150)
+  }
+
   test("a fully-filtered micro-batch commits empty and does not wedge the stream") {
     import spark.implicits._
     val dir = tmpDir("ci-empty-docs"); val out = tmpDir("ci-empty-out")

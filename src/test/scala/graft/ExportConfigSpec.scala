@@ -490,6 +490,49 @@ class ExportConfigSpec extends SparkSpec {
     intercept[IllegalStateException](pipeline.Savepoint.streamDirOf(fs, dest2))
   }
 
+  test("savepoint: an INGEST workDir is relocatable too — resume after deleting the original") {
+    import spark.implicits._
+    // ingest laid out in the savepoint's workDir convention: docs file
+    // stream under $w/stream, sink under $w/out, checkpoint $w/checkpoint
+    val w = tmpDir("ingw")
+    val dest = s"${tmpDir("ingdest")}/sp"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val known = docs.where(col("doc_id") % 50 === 0)
+      .select(graft.ops.TextAnalysis.scrub(col("text")).as("text"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def addFile(dir: String, name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$dir/.tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+    // phase 1: first half ingested, then savepoint
+    addFile(s"$w/stream", "f1", docs.where(col("doc_id") < 250))
+    graft.pipeline.CorpusIngest.start(spark, s"$w/stream", docs.schema, known,
+      s"$w/out", s"$w/checkpoint", minQuality = 0.5).awaitTermination()
+    pipeline.Savepoint.create(spark, w, dest)
+    // self-contained: the original lineage is GONE
+    fs.delete(new org.apache.hadoop.fs.Path(w), true)
+    // phase 2: a late file lands in the savepoint's own stream dir; resume
+    // from the savepoint alone
+    addFile(s"$dest/stream", "f2", docs.where(col("doc_id") >= 250))
+    graft.pipeline.CorpusIngest.start(spark, s"$dest/stream", docs.schema, known,
+      s"$dest/out", s"$dest/checkpoint", minQuality = 0.5).awaitTermination()
+    val got = new ExactlyOnceSink(spark, s"$dest/out").readCommitted("events").get.cache()
+    val want = graft.pipeline.CorpusIngest.curate(docs, known)
+      .dropDuplicates("content_md5")
+    // zero loss, zero duplication across the savepoint cut
+    assert(got.count() == want.count() && got.count() > 0,
+      s"resumed ingest must equal one-shot curation: ${got.count()} vs ${want.count()}")
+    assert(got.select("content_md5").distinct().count() == got.count(),
+      "no content duplicated across the savepoint cut")
+    got.unpersist()
+    ()
+  }
+
   test("savepoint: mid-creation crash leaves NO partial artifact; original still resumes") {
     val tableDir = tmpDir("cwtable")
     val w = tmpDir("cwwork")

@@ -234,6 +234,43 @@ class PlanSpec extends SparkSpec {
     assert(!bad, "no shuffle of document/gram text:\n" + p.take(800))
   }
 
+  test("q55: indexed incremental dedup reads postings from the index — corpus text never re-scanned") {
+    import spark.implicits._
+    val dir = tmpDir("gramidxplan")
+    // distinct on-disk locations so the scans are attributable in the plan
+    Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    Seq((10L, "alpha beta gamma delta epsilon zeta"),
+        (11L, "fresh novel content with no overlap"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/new")
+    graft.ops.Dedup.writeGramIndex(
+      spark.read.parquet(s"$dir/corpus"), s"$dir/idx", n = 3)
+    val idx = graft.ops.Dedup.readGramIndex(spark, s"$dir/idx")
+    val nw = spark.read.parquet(s"$dir/new")
+    val p = plan(graft.ops.Dedup.incrementalDedupIdsIndexed(nw, idx))
+    assert(!p.contains(s"$dir/corpus"),
+      "the daily batch must not pay a corpus re-scan:\n" + p.take(1200))
+    assert(p.contains(s"$dir/idx/grams") && p.contains(s"$dir/idx/md5"),
+      "postings/md5s must come from the stored index:\n" + p.take(1200))
+  }
+
+  test("q56: ingest near stage — md5/gram-hash exchanges only, no text shuffle") {
+    val p = plan(Queries.q56IngestNear(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("text#") || l.contains("gram#")))
+    assert(!bad, "no shuffle of document/gram text:\n" + p.take(800))
+  }
+
+  test("q57: persisted IVF probe is a cid-partition-pruned read") {
+    val p = plan(Queries.q57AnnIvfPersisted(spark, sf))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cid"),
+      "probe must prune cid partitions at the scan:\n" + p.take(1200))
+  }
+
   test("q51: centroid classify — centroids broadcast back, no text in any exchange") {
     val p = plan(Queries.q51CentroidClassify(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
