@@ -408,9 +408,8 @@ object Dedup {
       s"$dir/meta.json", s"""{"n":$n,"format":"graft-gram-index-v1"}""")
   }
 
-  /** Load a stored gram index (see `writeGramIndex`). */
-  def readGramIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): GramIndex = {
+  private def readGramIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
     import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
     val metaSchema = StructType(Seq(
       StructField("n", IntegerType), StructField("format", StringType)))
@@ -418,12 +417,46 @@ object Dedup {
     require(meta.length == 1 && !meta(0).isNullAt(0) &&
         meta(0).getString(1) == "graft-gram-index-v1",
       s"$dir/meta.json is not a graft gram-index sidecar")
+    meta(0).getInt(0)
+  }
+
+  /** Load a stored gram index (see `writeGramIndex`). Per-gram df is
+    * aggregated across append generations at read (one small groupBy on
+    * the already-tiny df table — appends write their own generation's
+    * partial counts).
+    */
+  def readGramIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): GramIndex = {
+    val n = readGramIndexMeta(spark, dir)
     GramIndex(
       spark.read.parquet(s"$dir/md5"),
       spark.read.parquet(s"$dir/grams"),
       spark.read.parquet(s"$dir/counts"),
-      spark.read.parquet(s"$dir/gramdf"),
-      meta(0).getInt(0))
+      spark.read.parquet(s"$dir/gramdf")
+        .groupBy(col("g")).agg(sum(col("df")).as("df")),
+      n)
+  }
+
+  /** Append a new batch's postings to a stored gram index — the MAINTENANCE
+    * half of the daily story: after a day's survivors join the corpus, the
+    * index grows by the day's postings instead of being rebuilt from
+    * 100 TB of corpus text. Gram size comes from the sidecar (never trust
+    * the caller to repeat it). CONTRACT: each doc id may be appended at
+    * most once (a re-appended id would double its gram counts and corrupt
+    * every jaccard against it — the same discipline as the sink's
+    * exactly-once batches; wrap calls in that machinery when the upstream
+    * can redeliver). The four appends are not atomic: a crash mid-append
+    * leaves a partial generation — rebuild with `writeGramIndex`, or drive
+    * appends through an exactly-once commit wrapper in production.
+    */
+  def appendGramIndex(newDocs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val n = readGramIndexMeta(newDocs.sparkSession, dir)
+    val idx = gramIndexOf(newDocs, n, idCol, textCol)
+    idx.md5s.write.mode("append").parquet(s"$dir/md5")
+    idx.grams.write.mode("append").parquet(s"$dir/grams")
+    idx.counts.write.mode("append").parquet(s"$dir/counts")
+    idx.gramDf.write.mode("append").parquet(s"$dir/gramdf")
   }
 
   /** `incrementalDedupIds` against a prebuilt/stored corpus index — the

@@ -777,6 +777,30 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.readGramIndex(spark, s"$dir/idx"))
   }
 
+  test("gram index append: write(A) + append(B) == write(A ∪ B), df merged across generations") {
+    val nw = docs.where(col("doc_id") % 10 === 3)
+    val old = docs.where(col("doc_id") % 10 =!= 3)
+    val oldA = old.where(col("doc_id") % 2 === 0)
+    val oldB = old.where(col("doc_id") % 2 =!= 0)
+    val dir = tmpDir("gramappend")
+    Dedup.writeGramIndex(oldA, s"$dir/idx", n = 3)
+    Dedup.appendGramIndex(oldB, s"$dir/idx")
+    val idx = Dedup.readGramIndex(spark, s"$dir/idx")
+    val recompute = Dedup.incrementalDedupIds(nw, old)
+      .collect().map(_.getLong(0)).toSet
+    val viaAppended = Dedup.incrementalDedupIdsIndexed(nw, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaAppended == recompute && viaAppended.nonEmpty,
+      "appended index must equal the full recompute")
+    // the hot-gram cap sums df ACROSS generations: a gram hot only in
+    // aggregate must still leave the postings join
+    val capped = Dedup.incrementalDedupIdsIndexed(nw, idx, maxGramDf = 50)
+      .collect().map(_.getLong(0)).toSet
+    val cappedRecompute = Dedup.incrementalDedupIds(nw, old, maxGramDf = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == cappedRecompute)
+  }
+
   test("centroidClassify == independent md5 sparse-vector model") {
     import graft.ops.Corpus
     import graft.functions.HashingKernels
