@@ -77,7 +77,8 @@ object SparkEntry {
     "q54_span_removal" -> (Queries.q54SpanRemoval _),
     "q55_incremental_indexed" -> (Queries.q55IncrementalIndexed _),
     "q56_ingest_near" -> (Queries.q56IngestNear _),
-    "q57_ann_ivf_persisted" -> (Queries.q57AnnIvfPersisted _)
+    "q57_ann_ivf_persisted" -> (Queries.q57AnnIvfPersisted _),
+    "q58_scd2" -> (Queries.q58Scd2 _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -713,6 +714,13 @@ object SparkEntry {
     // q57 = q15 through the PERSISTED IVF index — exact by construction,
     // same brute-force mirror.
     "q57_ann_ivf_persisted" -> annBruteSql,
+    // q58 mirror: SCD2 versioning is window `lead` over (key; ts, tie) in
+    // both engines — equal-ts ties break on event_id deterministically.
+    "q58_scd2" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
     // q56 mirror: the q53 curation chain + the near stage — curated docs
     // sharing ≥0.6 3-gram jaccard with any distinct known text are dropped
     // (grams on TEXT; the operator joins 64-bit fingerprints — the q39/q46

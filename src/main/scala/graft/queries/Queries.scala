@@ -678,6 +678,18 @@ object Queries {
       k = 10, nProbe = 4, excludeId = Some(0L))
   }
 
+  /** q58: SCD2 history materialization of the `events` changelog — each
+    * user's event stream becomes versioned rows with validity intervals
+    * (the warehouse history table a CDC pipeline feeds; `Scd2.scd2Stream`
+    * is the streaming twin, EventTimeSpec pins streaming == batch).
+    * One shuffle on the key; `lead` runs inside the partition.
+    */
+  def q58Scd2(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Scd2.materialize(table(spark, sfDir, "events"),
+        "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

@@ -439,4 +439,53 @@ class EventTimeSpec extends SparkSpec {
       Joins.toolCallResponse(batchTurns, "10 minutes"),
       "outer∖nulls == inner")
   }
+
+  test("SCD2 streaming: closed versions == batch; out-of-order + redelivery + equal-ts tie") {
+    import spark.implicits._
+    import graft.pipeline.Scd2
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    // u1 has an equal-ts tie (zero-duration version), u3 a single open row
+    val changes = Seq(
+      ("u1", ts(10), 1L, "a"), ("u1", ts(20), 2L, "b"), ("u1", ts(20), 3L, "b2"),
+      ("u1", ts(40), 4L, "c"), ("u2", ts(15), 5L, "x"), ("u2", ts(35), 6L, "y"),
+      ("u3", ts(25), 7L, "only")).toDF("k", "ts", "tie", "v")
+    val want = Scd2.materialize(changes, "k", "ts", "tie")
+      .where(col("valid_to").isNotNull)
+      .select(col("k"), col("ts").as("valid_from"), col("tie").as("from_tie"),
+        col("valid_to"))
+    val rows = Scd2.scd2Events(changes, "k", "ts", "tie").collect()
+    val (f1, f2) = rows.partition(_.tie % 2 == 0)
+    val dir = tmpDir("scd2")
+    def writeEnv(name: String, es: Seq[Scd2.Scd2Event]): Unit = {
+      val tmp = s"$dir/.tmp-$name"
+      spark.createDataset(es).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    // second file carries events OLDER than the first file's max (inside the
+    // watermark delay) plus an exact redelivery of an already-sent change
+    writeEnv("b1", f1.toSeq)
+    writeEnv("b2", f2.toSeq :+ f1.head)
+    writeEnv("b3", Seq(Scd2.Scd2Event("zz", ts(86400), 900L, "{}")))
+    writeEnv("b4", Seq(Scd2.Scd2Event("zz", ts(172800), 901L, "{}")))
+    val envSchema = Encoders.product[Scd2.Scd2Event].schema
+    val stream = spark.readStream.schema(envSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ts", "5 seconds").as[Scd2.Scd2Event]
+    val got = runToMemory(Scd2.scd2Stream(stream).toDF(), "scd2_s", "append")
+      .where(col("k") =!= "zz")
+      .select(col("k"), col("valid_from"), col("from_tie"), col("valid_to"))
+    assertSameRows(got, want, "streaming SCD2 closed set == batch history")
+    // batch mode of the same operator seals everything — identical closed set
+    val batchGot = Scd2.scd2Stream(
+        Scd2.scd2Events(changes, "k", "ts", "tie"), streaming = false).toDF()
+      .select(col("k"), col("valid_from"), col("from_tie"), col("valid_to"))
+    assertSameRows(batchGot, want, "batch-mode scd2Stream == materialize")
+    // the current view is the LWW row per key
+    val cur = Scd2.currentView(changes, "k", "ts", "tie")
+      .select(col("k"), col("tie")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cur == Map("u1" -> 4L, "u2" -> 6L, "u3" -> 7L))
+  }
 }
