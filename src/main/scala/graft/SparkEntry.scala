@@ -78,7 +78,9 @@ object SparkEntry {
     "q55_incremental_indexed" -> (Queries.q55IncrementalIndexed _),
     "q56_ingest_near" -> (Queries.q56IngestNear _),
     "q57_ann_ivf_persisted" -> (Queries.q57AnnIvfPersisted _),
-    "q58_scd2" -> (Queries.q58Scd2 _)
+    "q58_scd2" -> (Queries.q58Scd2 _),
+    "q59_semantic_dedup" -> (Queries.q59SemanticDedup _),
+    "q60_containment" -> (Queries.q60Containment _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -721,6 +723,37 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM events""".stripMargin,
+    // q59 mirror: brute-force cosine pairs (same fold order as dot_f64 —
+    // q14/q25 precedent) + the q26 recursive transitive closure.
+    "q59_semantic_dedup" ->
+      """WITH RECURSIVE s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+        |      FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |      WHERE list_dot_product(a.v, b.v)
+        |            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.40),
+        |e AS (SELECT id1 AS s, id2 AS d FROM p UNION SELECT id2, id1 FROM p),
+        |r(s, d) AS (SELECT s, d FROM e
+        |            UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s)
+        |SELECT s AS vec_id, least(s, min(d)) AS cluster FROM r GROUP BY s""".stripMargin,
+    // q60 mirror: the q11 gram/intersection pipeline with the ASYMMETRIC
+    // denominator (contained side's gram count) and the same exact-integer
+    // cross-multiplied threshold the operator uses (grams on TEXT — the
+    // q39/q46 collision trade).
+    "q60_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |      FROM t, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 2),
+        |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |b AS (SELECT id1 AS contained, id2 AS container, inter FROM c
+        |      UNION ALL SELECT id2, id1, inter FROM c)
+        |SELECT contained, container, round(inter * 1.0 / ng, 4) AS containment
+        |FROM b JOIN n ON b.contained = n.doc_id
+        |WHERE inter * 5 >= 4 * ng""".stripMargin,
     // q56 mirror: the q53 curation chain + the near stage — curated docs
     // sharing ≥0.6 3-gram jaccard with any distinct known text are dropped
     // (grams on TEXT; the operator joins 64-bit fingerprints — the q39/q46

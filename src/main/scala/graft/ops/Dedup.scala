@@ -105,6 +105,43 @@ object Dedup {
       .where(col("raw_j") >= threshold)
       .select(col("id1"), col("id2"), round(col("raw_j"), 4).as("jaccard"))
 
+  /** Asymmetric CONTAINMENT pairs — Broder's containment coefficient
+    * |grams(A) ∩ grams(B)| / |grams(A)| (public definition: Broder 1997,
+    * "On the resemblance and containment of documents"). Catches a short
+    * doc embedded inside a longer one, which symmetric jaccard structurally
+    * misses: the union in the denominator is dominated by the long doc, so
+    * a fully-contained snippet scores low on jaccard but 1.0 on
+    * containment. Emits ORDERED rows (contained, container): a
+    * near-identical pair legitimately yields both orientations.
+    *
+    * Same inverted-index discipline as `ngramJaccardPairs`: one gram-hash
+    * equi-join computes every intersection, the threshold is an
+    * exact-integer cross-multiplication (inter·tDen ≥ tNum·ng — no float
+    * in the decision), and every exchange moves 8-byte gram hashes, never
+    * text. At 100 TB this is the same shuffle shape q11 already proved.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, tNum: Long = 4L,
+      tDen: Long = 5L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"containmentPairs: threshold must be a rational in (0, 1], got $tNum/$tDen")
+    val g = grams(docs, n, idCol, textCol)
+    val gh = g.select(col("id"), xxhash64(col("gram")).as("gh"))
+    val sizes = gh.groupBy("id").agg(count(lit(1)).as("ng"))
+    val inter = gh.as("a").join(gh.as("b"),
+        col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val both = inter
+      .select(col("id1").as("contained"), col("id2").as("container"), col("inter"))
+      .unionByName(inter
+        .select(col("id2").as("contained"), col("id1").as("container"), col("inter")))
+    both.join(sizes.toDF("contained", "ng"), "contained")
+      .where(col("inter") * lit(tDen) >= lit(tNum) * col("ng"))
+      .select(col("contained"), col("container"),
+        round(col("inter") / col("ng"), 4).as("containment"))
+  }
+
   /** MinHash signature matrix: for each doc, numHashes minima of
     * (a_k * xxhash64(gram) + b_k) mod p. One explode + one groupBy(id).
     */

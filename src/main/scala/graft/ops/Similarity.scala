@@ -199,6 +199,57 @@ object Similarity {
       .select(col(qidCol), col(idCol), round(col("cosine"), 4).as("cosine"), col("rk"))
   }
 
+  /** All-pairs cosine-threshold SELF-join — the pair stage of semantic
+    * dedup (SemDeDup, Abbas et al. 2023 — public technique), with an EXACT
+    * contract: every pair at cosine ≥ `threshold` is produced; clustering
+    * only accelerates, it never decides. Centroid blocking: each vector
+    * gets its distance array to the k-means centroids (normalized space,
+    * one `centroid_dists` kernel pass), a HOME cell (its nearest), and is
+    * REPLICATED into every cell within (home distance + 2r), where
+    * r = √(2−2τ) is the threshold's chord radius on the unit sphere. For
+    * any pair (a,b) within r, the triangle inequality gives
+    * d(b, c_a) ≤ d(b, c_b) + 2r, so b's replicas reach a's home cell and
+    * the pair meets in the home×replica cid equi-join — recall 1.0 by
+    * construction, verified pairs only pay the exact cosine.
+    *
+    * Scale: NOTHING broadcasts but the centroid matrix; both sides meet
+    * only in cid equi-joins (the q43 discipline); replication factor is
+    * data-dependent but bounded by how many cells sit within 2r of a
+    * point's home — tight clusters at high thresholds replicate ~1.
+    * The exact cosine uses the same fold order on both join sides, so the
+    * value is symmetric and the canonical (least, greatest) id order
+    * cannot disagree with the verify.
+    */
+  def cosineSelfJoin(embs: DataFrame, threshold: Double, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"cosineSelfJoin: threshold must be in (-1, 1), got $threshold")
+    val clean = embs.where(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
+    val cents = kmeansCentroids(clean, nlist, idCol = idCol, vecCol = vecCol)
+    val isF = isFloatVec(embs, vecCol)
+    val twoR = 2.0 * math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
+    val cidSeq = sequence(lit(0), lit(cents.length - 1))
+    val assigned = clean.select(col(idCol), col(vecCol))
+      .withColumn("_cd", graft.functions.VectorFunctions.centroidDists(
+        col(vecCol), cents, isF))
+      .withColumn("_hd", array_min(col("_cd")))
+    val home = assigned
+      .withColumn("cid", (array_position(col("_cd"), col("_hd")) - 1).cast("int"))
+      .select(col(idCol).as("_ida"), col(vecCol).as("_va"), col("cid"))
+    val replicas = assigned
+      .withColumn("cid", explode(filter(cidSeq, j =>
+        element_at(col("_cd"), j + 1) <= col("_hd") + lit(twoR))))
+      .select(col(idCol).as("_idb"), col(vecCol).as("_vb"), col("cid"))
+    home.join(replicas, "cid")
+      .where(col("_ida") =!= col("_idb"))
+      .withColumn("cosine",
+        dot(col("_va"), col("_vb")) / (norm(col("_va")) * norm(col("_vb"))))
+      .where(col("cosine") >= threshold)
+      .select(least(col("_ida"), col("_idb")).as("id1"),
+        greatest(col("_ida"), col("_idb")).as("id2"), col("cosine"))
+      .dropDuplicates("id1", "id2")
+  }
+
   // ------------------------------- IVF -------------------------------
   //
   // Index: vectors are normalized to the unit sphere (cosine ⇔ L2 there),

@@ -690,6 +690,27 @@ object Queries {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("valid_from"), col("valid_to"), col("is_current"))
 
+  /** q59: semantic dedup over the embedding table — every pair at cosine
+    * ≥ 0.40 (EXACT, centroid blocking only accelerates — recall 1.0 by
+    * construction) feeds connected components; cluster = min reachable
+    * vec_id, the same representative policy as q26's text-level dedup.
+    * The SemDeDup workflow (Abbas et al. 2023) in exact-threshold form.
+    */
+  def q59SemanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.ops.Similarity.cosineSelfJoin(
+      table(spark, sfDir, "embeddings"), threshold = 0.40, nlist = 16)
+    graft.ops.Dedup.dedupClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+  }
+
+  /** q60: containment dedup — ordered (contained, container) pairs at
+    * |A∩B|/|A| ≥ 4/5 over 3-gram sets; the asymmetric twin of q11 that
+    * catches snippets embedded in longer docs. Exact-integer threshold.
+    */
+  def q60Containment(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.containmentPairs(table(spark, sfDir, "documents"),
+      n = 3, tNum = 4L, tDen = 5L)
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

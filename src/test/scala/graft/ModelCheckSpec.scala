@@ -157,6 +157,82 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs == brute-force model; catches snippets jaccard misses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6060)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (round <- 0 until 3) {
+      val base = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // inject true containments: short docs that are substrings of longer ones
+      val snippets = (0 until 6).map { j =>
+        val (_, t) = base(rnd.nextInt(base.size))
+        val w = t.split(" ")
+        val s = rnd.nextInt(math.max(1, w.length - 5))
+        (100L + j, w.slice(s, s + 5 + rnd.nextInt(w.length - s)).mkString(" "))
+      }
+      val docs = base ++ snippets
+      val (tN, tD) = (1L + rnd.nextInt(4).toLong, 5L)
+      val got = graft.ops.Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          n = 3, tNum = tN, tDen = tD)
+        .select("contained", "container").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def gs(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val want = (for {
+        (i, ti) <- docs; (j, tj) <- docs if i != j
+        gi = gs(ti); inter = (gi & gs(tj)).size
+        if gi.nonEmpty && inter * tD >= tN * gi.size
+      } yield (i, j)).toSet
+      assert(got == want, s"round=$round t=$tN/$tD got=${got.size} want=${want.size}")
+      // the asymmetry is load-bearing: at a high threshold some contained
+      // snippet must appear whose REVERSE orientation does not
+      val high = graft.ops.Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          n = 3, tNum = 9L, tDen = 10L)
+        .select("contained", "container").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(high.exists { case (a, b) => a >= 100L && !high.contains((b, a)) },
+        s"round=$round: expected an asymmetric containment among the snippets")
+    }
+  }
+
+  test("cosineSelfJoin == brute-force pair model on clustered and uniform corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5959)
+    for (round <- 0 until 3) {
+      val dim = 8
+      // half clustered (pairs abound inside cells), half uniform noise
+      // (pairs straddle cell boundaries — the replication path must catch
+      // them); tiny nlist forces heavy replication, large nlist forces
+      // cross-cell meetings
+      val nClusters = 2 + rnd.nextInt(3)
+      val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian() * 2))
+      val vecs = (0 until 80 + rnd.nextInt(60)).map { i =>
+        if (i % 2 == 0) {
+          val c = centers(rnd.nextInt(nClusters))
+          (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.6).toFloat).toSeq)
+        } else (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+      }
+      val threshold = 0.3 + rnd.nextDouble() * 0.5
+      val nlist = 2 + rnd.nextInt(10)
+      val got = graft.ops.Similarity.cosineSelfJoin(
+          vecs.toDF("vec_id", "embedding"), threshold, nlist = nlist)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+          math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+      }
+      val want = (for {
+        (i, vi) <- vecs; (j, vj) <- vecs if i < j && cos(vi, vj) >= threshold
+      } yield (i, j)).toSet
+      assert(got == want,
+        s"round=$round t=$threshold nlist=$nlist got=${got.size} want=${want.size}")
+    }
+  }
+
   test("corpus assembly ops == reference models on random corpora and budgets") {
     import spark.implicits._
     import graft.ops.Corpus

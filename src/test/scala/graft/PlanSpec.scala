@@ -58,6 +58,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q59: cosine self-join candidates meet in a cid equi-join, never a nested loop") {
+    val p = plan(graft.ops.Similarity.cosineSelfJoin(
+      Queries.table(spark, sf, "embeddings"), threshold = 0.40, nlist = 16))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "semantic-dedup pair stage must not plan an all-pairs join:\n" + p.take(800))
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("cid#")) ||
+      p.contains("BroadcastHashJoin"),
+      "candidates meet in the cid equi-join:\n" + p.take(800))
+  }
+
   test("q26: cluster propagation is equi-joins only, never a nested loop") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
