@@ -80,7 +80,8 @@ object SparkEntry {
     "q57_ann_ivf_persisted" -> (Queries.q57AnnIvfPersisted _),
     "q58_scd2" -> (Queries.q58Scd2 _),
     "q59_semantic_dedup" -> (Queries.q59SemanticDedup _),
-    "q60_containment" -> (Queries.q60Containment _)
+    "q60_containment" -> (Queries.q60Containment _),
+    "q61_winnow" -> (Queries.q61Winnow _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -754,6 +755,31 @@ object SparkEntry {
         |SELECT contained, container, round(inter * 1.0 / ng, 4) AS containment
         |FROM b JOIN n ON b.contained = n.doc_id
         |WHERE inter * 5 >= 4 * ng""".stripMargin,
+    // q61 mirror: positional 4-gram 60-bit hashes, per-window min with the
+    // rightmost-tie rule via a GROUP-BY argmax (the operator's
+    // min(struct(fp, −pos)) frame aggregate, spelled relationally), then
+    // the shared-fingerprint pair count.
+    "q61_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |sp AS (SELECT doc_id, i - 1 AS pos,
+        |         ('0x' || substr(md5(wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2] || ' ' || wd[i+3]), 1, 15))::UBIGINT::BIGINT AS fp
+        |       FROM t, (SELECT unnest(generate_series(1,
+        |              (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |       WHERE i <= len(wd) - 3),
+        |mx AS (SELECT doc_id, max(pos) AS mp FROM sp GROUP BY 1),
+        |wins AS (SELECT s1.doc_id, s1.pos AS j, min(s2.fp) AS mfp
+        |         FROM sp s1 JOIN mx ON s1.doc_id = mx.doc_id
+        |         JOIN sp s2 ON s1.doc_id = s2.doc_id
+        |              AND s2.pos BETWEEN s1.pos AND s1.pos + 4
+        |         WHERE s1.pos + 4 <= mx.mp GROUP BY 1, 2),
+        |sel AS (SELECT w.doc_id, w.mfp AS fp, max(s.pos) AS pos
+        |        FROM wins w JOIN sp s ON s.doc_id = w.doc_id
+        |             AND s.pos BETWEEN w.j AND w.j + 4 AND s.fp = w.mfp
+        |        GROUP BY w.doc_id, w.j, w.mfp),
+        |f AS (SELECT DISTINCT doc_id, fp FROM sel)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     // q56 mirror: the q53 curation chain + the near stage — curated docs
     // sharing ≥0.6 3-gram jaccard with any distinct known text are dropped
     // (grams on TEXT; the operator joins 64-bit fingerprints — the q39/q46

@@ -142,6 +142,65 @@ object Dedup {
         round(col("inter") / col("ng"), 4).as("containment"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * algorithm — public technique): hash every k-token window, slide a
+    * selection window of `w` consecutive hashes over them, and keep the
+    * MINIMUM of each window (ties → the RIGHTMOST occurrence — the
+    * original paper's robust-winnowing rule, which makes selection
+    * position-stable under edits). Guarantee: any shared run of
+    * ≥ w + k − 1 tokens yields at least one shared fingerprint, while
+    * only ~2/(w+1) of positions are kept — a tunable sketch density
+    * between full substring fingerprinting (q39, every window) and
+    * whole-doc MinHash (q12).
+    *
+    * Output: distinct selected (id, pos, fp). Docs with fewer than w
+    * k-gram positions have no full window and yield no fingerprints
+    * (documented contract; lower w or k for very short docs).
+    *
+    * Scale: the k-gram hash projection is narrow and scan-side (the
+    * q39 `word_ngrams_all` kernel + the 60-bit engine-neutral hash);
+    * selection is ONE keyed window pass — the only shuffle is the
+    * per-doc sort, and the rightmost-min falls out of a lexicographic
+    * `min(struct(fp, −pos))` frame aggregate, no per-window explode.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowFingerprints: k and w must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val spans = docs.select(col(idCol).as("id"),
+        posexplode(call_function("word_ngrams_all", col(textCol), lit(k)))
+          .as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"),
+        graft.ops.TextAnalysis.tokenHash60(col("gram")).as("fp"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    spans
+      .withColumn("_n", count(lit(1)).over(win))
+      .withColumn("_m", min(struct(col("fp"), (-col("pos")).as("np"))).over(win))
+      .where(col("_n") === w)
+      .select(col("id"), (-col("_m.np")).cast("int").as("pos"),
+        col("_m.fp").as("fp"))
+      .distinct()
+  }
+
+  /** MOSS-style near-dup report over winnowed fingerprints: pairs of docs
+    * sharing ≥ `minShared` distinct selected fingerprint VALUES. The pair
+    * join runs over the winnowed sketch (~2/(w+1) of the q39 span
+    * density), shuffling 8-byte fps only — the cheap screen before exact
+    * verification or span extraction.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 5, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, "winnowPairs: minShared must be >= 1")
+    val f = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col("id"), col("fp")).distinct()
+    f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature matrix: for each doc, numHashes minima of
     * (a_k * xxhash64(gram) + b_k) mod p. One explode + one groupBy(id).
     */

@@ -711,6 +711,15 @@ object Queries {
     graft.ops.Dedup.containmentPairs(table(spark, sfDir, "documents"),
       n = 3, tNum = 4L, tDen = 5L)
 
+  /** q61: winnowing (MOSS) near-dup screen — 4-token window hashes,
+    * rightmost-min selection over 5-hash windows, pairs sharing ≥3
+    * selected fingerprints. ~2/(w+1) of q39's span density with the
+    * w+k−1-token match guarantee.
+    */
+  def q61Winnow(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.winnowPairs(table(spark, sfDir, "documents"),
+      k = 4, w = 5, minShared = 3)
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

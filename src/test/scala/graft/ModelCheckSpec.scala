@@ -197,6 +197,42 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("winnowFingerprints == brute-force rightmost-min model; match guarantee holds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6161)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def hash60(s: String): Long =
+      java.lang.Long.parseLong(graft.functions.HashingKernels.md5hex(s).substring(0, 15), 16)
+    for (round <- 0 until 3) {
+      val k = 2 + rnd.nextInt(3)
+      val w = 2 + rnd.nextInt(4)
+      // random docs + one pair sharing a planted run of exactly w+k-1 tokens
+      val run = Seq.fill(w + k - 1)(vocab(rnd.nextInt(vocab.size)))
+      def doc(): Seq[String] = Seq.fill(6 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.size)))
+      val docs = (0 until 20).map(i => (i.toLong, doc().mkString(" "))) ++
+        Seq((50L, (doc() ++ run ++ doc()).mkString(" ")),
+            (51L, (doc() ++ run ++ doc()).mkString(" ")))
+      val got = graft.ops.Dedup.winnowFingerprints(docs.toDF("doc_id", "text"), k, w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val want = docs.flatMap { case (id, t) =>
+        val wd = t.split(" ")
+        val fps = wd.sliding(k).filter(_.length == k).zipWithIndex
+          .map { case (g, i) => (i, hash60(g.mkString(" "))) }.toVector
+        (0 to fps.length - w).map { j =>
+          val win = fps.slice(j, j + w)
+          val m = win.map(_._2).min
+          val (p, f) = win.filter(_._2 == m).last  // rightmost min
+          (id, p, f)
+        }
+      }.toSet
+      assert(got == want, s"round=$round k=$k w=$w got=${got.size} want=${want.size}")
+      // winnowing guarantee: the planted w+k-1-token run forces >= 1 shared fp
+      val f50 = got.collect { case (50L, _, f) => f }
+      val f51 = got.collect { case (51L, _, f) => f }
+      assert((f50 & f51).nonEmpty, s"round=$round: planted run must share a fingerprint")
+    }
+  }
+
   test("cosineSelfJoin == brute-force pair model on clustered and uniform corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(5959)
