@@ -31,7 +31,11 @@ object ClusterCheck {
     "q52_assembly", "q54_span_removal",
     // at-rest index round-trips read from SEPARATE executor JVMs (the
     // stored gram index and the cid-partitioned IVF index)
-    "q55_incremental_indexed", "q57_ann_ivf_persisted")
+    "q55_incremental_indexed", "q57_ann_ivf_persisted",
+    // round-6 additions: SCD2 keyed window, the centroid-blocked cosine
+    // self-join (centroid_dists in a replicate/join shape), winnowing's
+    // frame-aggregate selection, and the decimal-plane novelty flags
+    "q58_scd2", "q59_semantic_dedup", "q61_winnow", "q62_gram_novelty")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     val cols = df.columns.sorted

@@ -81,7 +81,8 @@ object SparkEntry {
     "q58_scd2" -> (Queries.q58Scd2 _),
     "q59_semantic_dedup" -> (Queries.q59SemanticDedup _),
     "q60_containment" -> (Queries.q60Containment _),
-    "q61_winnow" -> (Queries.q61Winnow _)
+    "q61_winnow" -> (Queries.q61Winnow _),
+    "q62_gram_novelty" -> (Queries.q62GramNovelty _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -780,6 +781,23 @@ object SparkEntry {
         |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    // q62 mirror: gram df on TEXT (q39/q46 collision trade vs the
+    // operator's xxhash64 keys); DuckDB's integer sums are HUGEINT, so the
+    // cross-multiplied tail tests are exact like the decimal(38,0) plane.
+    "q62_gram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |      FROM t, (SELECT unnest(generate_series(1,
+        |             (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |      WHERE i <= len(w) - 2),
+        |d AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+        |per AS (SELECT doc_id, count(*) AS n_grams, sum(df) AS sum_df
+        |        FROM g JOIN d USING (gram) GROUP BY 1),
+        |tot AS (SELECT sum(n_grams) AS tng, sum(sum_df) AS tdf FROM per)
+        |SELECT doc_id, n_grams, round(sum_df * 1.0 / n_grams, 4) AS mean_df,
+        |  sum_df * tng * 4 < n_grams * tdf * 3 AS is_rare,
+        |  sum_df * tng * 2 > n_grams * tdf * 3 AS is_boiler
+        |FROM per, tot""".stripMargin,
     // q56 mirror: the q53 curation chain + the near stage — curated docs
     // sharing ≥0.6 3-gram jaccard with any distinct known text are dropped
     // (grams on TEXT; the operator joins 64-bit fingerprints — the q39/q46

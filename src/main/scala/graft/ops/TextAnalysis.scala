@@ -226,6 +226,45 @@ object TextAnalysis {
       .select(col(idCol), col(strataCol), col("n_tokens"))
   }
 
+  /** Corpus-frequency novelty score — the integer-exact stand-in for the
+    * LM-perplexity filter class (CCNet's "how typical of the corpus is
+    * this document" signal, recast on n-gram DOCUMENT frequency so the
+    * decision is reproducible bit-for-bit): each doc's mean corpus df
+    * over its distinct n-grams, compared against the corpus-wide mean by
+    * exact cross-multiplication. `is_rare` (mean below rareNum/rareDen ×
+    * corpus mean) flags garbled/off-distribution text; `is_boiler` (above
+    * boilNum/boilDen ×) flags template/boilerplate-dominated docs — the
+    * two tails a quality pipeline cuts.
+    *
+    * Scale: one gram-hash df aggregate + one join back (both shuffle
+    * 8-byte xxhash64 keys — q11's discipline, text never moves), one
+    * per-doc aggregate, and a 1-row totals broadcast. The comparisons run
+    * in decimal(38,0): sum_df × total_ng reaches ~10²⁸ at corpus scale
+    * (DuckDB mirrors in HUGEINT).
+    */
+  def gramNovelty(docs: DataFrame, n: Int = 3,
+      rareNum: Long = 3L, rareDen: Long = 4L,
+      boilNum: Long = 3L, boilDen: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(rareNum > 0 && rareDen > 0 && boilNum > 0 && boilDen > 0,
+      "gramNovelty: thresholds must be positive rationals")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val gh = Dedup.grams(docs, n, idCol, textCol)
+      .select(col("id"), xxhash64(col("gram")).as("gh"))
+    val dfs = gh.groupBy("gh").agg(count(lit(1)).as("df"))
+    val per = gh.join(dfs, "gh").groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("df")).as("sum_df"))
+    val tot = per.agg(sum(dec(col("n_grams"))).as("tot_ng"),
+      sum(dec(col("sum_df"))).as("tot_df"))
+    per.crossJoin(broadcast(tot))
+      .select(col("id").as(idCol), col("n_grams"),
+        round(col("sum_df") / col("n_grams"), 4).as("mean_df"),
+        (dec(col("sum_df")) * col("tot_ng") * lit(rareDen) <
+          dec(col("n_grams")) * col("tot_df") * lit(rareNum)).as("is_rare"),
+        (dec(col("sum_df")) * col("tot_ng") * lit(boilDen) >
+          dec(col("n_grams")) * col("tot_df") * lit(boilNum)).as("is_boiler"))
+  }
+
   /** Convenience projection of all per-document text features. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -720,6 +720,13 @@ object Queries {
     graft.ops.Dedup.winnowPairs(table(spark, sfDir, "documents"),
       k = 4, w = 5, minShared = 3)
 
+  /** q62: corpus-df novelty filter — per-doc mean 3-gram document
+    * frequency vs the corpus mean, rare (<3/4×) and boilerplate (>3/2×)
+    * tails flagged by exact-integer cross-multiplication.
+    */
+  def q62GramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextAnalysis.gramNovelty(table(spark, sfDir, "documents"))
+
   def q23Multimodal(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Multimodal.modalityStats(
       graft.ops.Multimodal.mediaFromDocuments(table(spark, sfDir, "documents")))

@@ -233,6 +233,33 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("gramNovelty == exact-rational reference model on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6262)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (round <- 0 until 3) {
+      val docs = (0 until 40).map(i =>
+        (i.toLong, Seq.fill(5 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val (rN, rD) = (1L + rnd.nextInt(3).toLong, 2L + rnd.nextInt(3).toLong)
+      val (bN, bD) = (2L + rnd.nextInt(3).toLong, 1L + rnd.nextInt(2).toLong)
+      val got = graft.ops.TextAnalysis.gramNovelty(docs.toDF("doc_id", "text"),
+          n = 3, rareNum = rN, rareDen = rD, boilNum = bN, boilDen = bD)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3), r.getBoolean(4))).toSet
+      def gs(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sets = docs.map { case (i, t) => i -> gs(t) }.filter(_._2.nonEmpty)
+      val df = sets.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val per = sets.map { case (i, g) => (i, g.size.toLong, g.iterator.map(df).sum) }
+      val tng = per.map(_._2).sum
+      val tdf = per.map(_._3).sum
+      val want = per.map { case (i, ng, sdf) =>
+        (i, ng, BigInt(sdf) * tng * rD < BigInt(ng) * tdf * rN,
+          BigInt(sdf) * tng * bD > BigInt(ng) * tdf * bN)
+      }.toSet
+      assert(got == want, s"round=$round rare=$rN/$rD boil=$bN/$bD")
+    }
+  }
+
   test("cosineSelfJoin == brute-force pair model on clustered and uniform corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(5959)
