@@ -494,14 +494,47 @@ object Dedup {
   def writeGramIndex(corpus: DataFrame, dir: String, n: Int = 3,
       numPostingFiles: Int = 32, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
+    val spark = corpus.sparkSession
+    // a REBUILD resets the epoch history: stale epoch markers from a
+    // previous index generation would otherwise point readers at the old
+    // compacted tables instead of the fresh epoch-0 ones. Contract: a
+    // rebuild deletes the old epoch tables IMMEDIATELY (unlike compact's
+    // one-epoch deletion grace) — don't rebuild while readers are
+    // in-flight (they fail loudly with FAILED_READ, never read torn data)
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("_epoch-") || nm.matches(".*-e\\d+"))
+        fs.delete(st.getPath, true)
+    }
     val idx = gramIndexOf(corpus, n, idCol, textCol)
     idx.md5s.write.mode("overwrite").parquet(s"$dir/md5")
     idx.grams.repartition(numPostingFiles, col("g"))
       .write.mode("overwrite").parquet(s"$dir/grams")
     idx.counts.write.mode("overwrite").parquet(s"$dir/counts")
     idx.gramDf.write.mode("overwrite").parquet(s"$dir/gramdf")
-    graft.util.FsText.write(corpus.sparkSession,
+    graft.util.FsText.write(spark,
       s"$dir/meta.json", s"""{"n":$n,"format":"graft-gram-index-v1"}""")
+  }
+
+  /** Epoch-suffix for the index's table dirs: epoch 0 is the bare
+    * `writeGramIndex` layout; compaction e publishes `md5-e<e>` etc.
+    */
+  private def gramEpochSuffix(e: Int): String = if (e == 0) "" else s"-e$e"
+
+  /** Highest published compaction epoch = max `_epoch-<e>` marker (the
+    * sink's single-visibility-point rule: a compaction's tables are
+    * invisible until its marker exists, so a crash mid-compaction leaves
+    * readers on the previous epoch).
+    */
+  private def gramIndexEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Int = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(d)) 0
+    else fs.listStatus(d).iterator.map(_.getPath.getName)
+      .collect { case s if s.startsWith("_epoch-") => s.drop(7).toInt }
+      .foldLeft(0)(math.max)
   }
 
   private def readGramIndexMeta(spark: org.apache.spark.sql.SparkSession,
@@ -516,19 +549,23 @@ object Dedup {
     meta(0).getInt(0)
   }
 
-  /** Load a stored gram index (see `writeGramIndex`). Per-gram df is
-    * aggregated across append generations at read (one small groupBy on
-    * the already-tiny df table — appends write their own generation's
-    * partial counts).
+  /** Load a stored gram index (see `writeGramIndex`) at its highest
+    * published compaction epoch. Per-gram df is aggregated across append
+    * generations at read (one small groupBy on the already-tiny df
+    * table — appends write their own generation's partial counts; a
+    * compaction collapses them back to one row per gram).
     */
   def readGramIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): GramIndex = {
     val n = readGramIndexMeta(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val s = gramEpochSuffix(gramIndexEpoch(fs, dir))
     GramIndex(
-      spark.read.parquet(s"$dir/md5"),
-      spark.read.parquet(s"$dir/grams"),
-      spark.read.parquet(s"$dir/counts"),
-      spark.read.parquet(s"$dir/gramdf")
+      spark.read.parquet(s"$dir/md5$s"),
+      spark.read.parquet(s"$dir/grams$s"),
+      spark.read.parquet(s"$dir/counts$s"),
+      spark.read.parquet(s"$dir/gramdf$s")
         .groupBy(col("g")).agg(sum(col("df")).as("df")),
       n)
   }
@@ -547,12 +584,65 @@ object Dedup {
     */
   def appendGramIndex(newDocs: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val n = readGramIndexMeta(newDocs.sparkSession, dir)
+    val spark = newDocs.sparkSession
+    val n = readGramIndexMeta(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val s = gramEpochSuffix(gramIndexEpoch(fs, dir))
     val idx = gramIndexOf(newDocs, n, idCol, textCol)
-    idx.md5s.write.mode("append").parquet(s"$dir/md5")
-    idx.grams.write.mode("append").parquet(s"$dir/grams")
-    idx.counts.write.mode("append").parquet(s"$dir/counts")
-    idx.gramDf.write.mode("append").parquet(s"$dir/gramdf")
+    idx.md5s.write.mode("append").parquet(s"$dir/md5$s")
+    idx.grams.write.mode("append").parquet(s"$dir/grams$s")
+    idx.counts.write.mode("append").parquet(s"$dir/counts$s")
+    idx.gramDf.write.mode("append").parquet(s"$dir/gramdf$s")
+  }
+
+  /** Compact a stored gram index: fold every append generation back into
+    * the `writeGramIndex` layout — postings re-bucketed by `g` into
+    * `numPostingFiles` contiguous-hash-range files, per-gram df partials
+    * collapsed to one row, file counts bounded again. The maintenance
+    * loop this completes (write → append… → compact, mirroring the
+    * sink's epoch compaction) is what keeps the daily-dedup index
+    * healthy at 100 TB: appends are cheap but erode the bucketed layout
+    * (their postings aren't hash-ranged) and grow file counts and df
+    * partials without bound; compaction restores all three invariants
+    * without touching corpus text.
+    *
+    * Crash-safe by the sink's single-visibility-point rule: the new
+    * epoch's four tables are written to `*-e<next>` dirs that readers
+    * ignore until the `_epoch-<next>` marker is created (an atomic
+    * create). A crash mid-write leaves readers on the current epoch and
+    * a re-run overwrites the partial tables. Physical deletion of old
+    * epochs is deferred ONE epoch (again the sink's convention): epoch
+    * `e-1`'s tables are dropped when `e+1` publishes, so in-flight
+    * readers of the previous epoch get a full compaction cycle of grace.
+    * Single-writer contract: don't run compact concurrently with an
+    * append (same discipline `appendGramIndex` already documents).
+    *
+    * Returns the published epoch number.
+    */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, numPostingFiles: Int = 32): Int = {
+    readGramIndexMeta(spark, dir) // validates format before any writes
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = gramIndexEpoch(fs, dir)
+    val cur = readGramIndex(spark, dir)
+    val next = e + 1
+    val s = gramEpochSuffix(next)
+    cur.md5s.distinct().write.mode("overwrite").parquet(s"$dir/md5$s")
+    cur.grams.repartition(numPostingFiles, col("g"))
+      .write.mode("overwrite").parquet(s"$dir/grams$s")
+    cur.counts.write.mode("overwrite").parquet(s"$dir/counts$s")
+    // readGramIndex already folded the df partials; one row per gram
+    cur.gramDf.write.mode("overwrite").parquet(s"$dir/gramdf$s")
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_epoch-$next"))
+    if (e >= 1) {
+      val sOld = gramEpochSuffix(e - 1)
+      Seq("md5", "grams", "counts", "gramdf").foreach { t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$t$sOld"), true)
+      }
+    }
+    next
   }
 
   /** `incrementalDedupIds` against a prebuilt/stored corpus index — the

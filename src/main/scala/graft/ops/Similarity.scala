@@ -378,6 +378,55 @@ object Similarity {
     model
   }
 
+  /** Append new vectors to a stored IVF index WITHOUT re-training — the
+    * maintenance half of the ANN-at-rest story (the `appendGramIndex`
+    * twin): new vectors are assigned to the EXISTING centroids and land
+    * in their cid partitions, so the daily embedding batch pays one
+    * narrow assignment scan instead of a 100 TB re-cluster. Centroids
+    * never move on append (standard IVF maintenance — re-train via
+    * `writeIvfIndex` when drift degrades bucket balance).
+    *
+    * Exactness is preserved by a CONSERVATIVE radius merge, ordered for
+    * crash-safety: search correctness needs each stored radius ≥ the max
+    * member distance of its bucket (an understated radius prunes a
+    * bucket that could hold a true top-k hit; an overstated one only
+    * probes more). So the sidecar is rewritten with the merged radii
+    * BEFORE any row is appended — a crash between the two leaves a
+    * correct, slightly-over-probing index, never a wrong one. A crash
+    * mid-row-append can leave a torn batch (same contract as
+    * `appendGramIndex`: each vec_id at most once, wrap in exactly-once
+    * machinery when the upstream can redeliver).
+    *
+    * Returns the merged model.
+    */
+  def appendIvfIndex(newEmbs: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel = {
+    val spark = newEmbs.sparkSession
+    val (_, model) = readIvfIndex(spark, dir) // validates the sidecar
+    val clean = newEmbs.where(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
+    val assigned = clean
+      .withColumn("_asn", graft.functions.VectorFunctions.nearestCentroid(
+        col(vecCol), model.centroids, isFloatVec(newEmbs, vecCol)))
+      .withColumn("cid", col("_asn.cid"))
+      .withColumn("cdist", col("_asn.dist"))
+      .drop("_asn")
+      .cache()
+    try {
+      val grown = assigned.groupBy("cid").agg(max("cdist")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val merged = IvfModel(model.centroids,
+        model.radii.indices.map(j =>
+          math.max(model.radii(j), grown.getOrElse(j, 0.0))).toArray)
+      val json = merged.centroids.indices.map { j =>
+        s"""{"cid":$j,"radius":${merged.radii(j)},"centroid":[${merged.centroids(j).mkString(",")}]}"""
+      }.mkString("\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "model.json"),
+        json.getBytes("UTF-8"))
+      assigned.write.mode("append").partitionBy("cid").parquet(s"$dir/index")
+      merged
+    } finally { assigned.unpersist(); () }
+  }
+
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, IvfModel) = {
     // a REAL JSON parse of the NDJSON sidecar (schema-pinned, _corrupt_

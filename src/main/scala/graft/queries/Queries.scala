@@ -632,14 +632,20 @@ object Queries {
     * at rest (`writeGramIndex`); the new batch joins pre-hashed postings
     * without ever re-scanning corpus text. Same result as q50 by
     * construction (OpsSpec pins index == recompute; PlanSpec pins the
-    * no-corpus-rescan property).
+    * no-corpus-rescan property). The fixture index is built through the
+    * FULL maintenance lifecycle — write(⅔ of the corpus) → append(the
+    * rest) → compact — so the gate exercises epoch resolution and the
+    * compacted layout, not just a fresh write.
     */
   def q55IncrementalIndexed(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = table(spark, sfDir, "documents")
     val nw = docs.where(col("doc_id") % 10 === 3)
     val dir = ensureIndexDir(spark, sfDir, "gram-old-n3") { d =>
-      graft.ops.Dedup.writeGramIndex(
-        docs.where(col("doc_id") % 10 =!= 3), d, n = 3)
+      val corpus = docs.where(col("doc_id") % 10 =!= 3)
+      graft.ops.Dedup.writeGramIndex(corpus.where(col("doc_id") % 3 =!= 1), d, n = 3)
+      graft.ops.Dedup.appendGramIndex(corpus.where(col("doc_id") % 3 === 1), d)
+      graft.ops.Dedup.compactGramIndex(spark, d)
+      ()
     }
     val idx = graft.ops.Dedup.readGramIndex(spark, dir)
     nw.join(graft.ops.Dedup.incrementalDedupIdsIndexed(nw, idx, threshold = 0.6),

@@ -251,6 +251,43 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan.take(500))
   }
 
+  test("IVF index append: radii merged conservatively, search stays exact") {
+    import spark.implicits._
+    val pts = clusteredVecs(16, 15, 8)
+    val (keep, later) = pts.partition(_._1 % 3 != 0)
+    val dir = tmpDir("ivfappend")
+    Similarity.writeIvfIndex(keep.toDF("vec_id", "embedding"), dir, nlist = 8)
+    val before = Similarity.readIvfIndex(spark, dir)._2
+    // the appended batch includes an outlier direction far outside every
+    // bucket's current radius — exactness after append depends on the
+    // sidecar's radii being merged up, not recomputed from the old rows
+    val outlier = (100000L, Seq.fill(8)(-4.0f))
+    val merged = Similarity.appendIvfIndex(
+      (later :+ outlier).toDF("vec_id", "embedding"), dir)
+    assert(merged.radii.zip(before.radii).exists { case (m, o) => m > o },
+      "appending an outlier must grow at least one radius")
+    val (index, model) = Similarity.readIvfIndex(spark, dir)
+    assert(model.radii.toSeq == merged.radii.toSeq,
+      "sidecar must carry the merged radii")
+    // THE invariant ivfSearch's bucket-pruning bound rests on: every
+    // stored radius covers its bucket's max member distance
+    val maxes = index.groupBy("cid").agg(max("cdist")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    maxes.foreach { case (cid, m) =>
+      assert(m <= model.radii(cid) + 1e-12,
+        s"cid=$cid member at $m exceeds stored radius ${model.radii(cid)}")
+    }
+    // search over the grown index == brute force over the union, for a
+    // mid-cluster query and for the outlier's own neighborhood
+    val all = (pts :+ outlier).toDF("vec_id", "embedding")
+    for (q <- Seq(pts(5 * 15 + 1)._2.toArray, Array.fill(8)(-3.9f))) {
+      assertSameRows(
+        Similarity.ivfSearch(index, model, q, k = 5, nProbe = 1),
+        Similarity.bruteForceTopK(all, q, k = 5),
+        "appended ivf vs brute")
+    }
+  }
+
   test("embedding near-dup: LSH-blocked pairs == exact all-pairs (recall 1.0)") {
     // exact reference: all-pairs cosine over the SAME hashed embeddings
     val hashed = Dedup.hashedEmbeddings(docs).cache()
@@ -799,6 +836,72 @@ class OpsSpec extends SparkSpec {
     val cappedRecompute = Dedup.incrementalDedupIds(nw, old, maxGramDf = 50)
       .collect().map(_.getLong(0)).toSet
     assert(capped == cappedRecompute)
+  }
+
+  test("gram index compact: epochs resolve, layout restored, partial compaction invisible") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val nw = docs.where(col("doc_id") % 10 === 3)
+    val old = docs.where(col("doc_id") % 10 =!= 3)
+    val dir = tmpDir("gramcompact")
+    val idxDir = s"$dir/idx"
+    Dedup.writeGramIndex(old.where(col("doc_id") % 2 === 0), idxDir, n = 3,
+      numPostingFiles = 4)
+    Dedup.appendGramIndex(old.where(col("doc_id") % 2 =!= 0), idxDir)
+    val recompute = Dedup.incrementalDedupIds(nw, old)
+      .collect().map(_.getLong(0)).toSet
+
+    // a PARTIAL compaction (tables present, marker absent — the mid-crash
+    // state) is invisible: readers stay on epoch 0
+    spark.range(1).selectExpr("0L as g", "0L as df")
+      .write.parquet(s"$idxDir/gramdf-e1")
+    val preEpoch = Dedup.readGramIndex(spark, idxDir)
+    assert(Dedup.incrementalDedupIdsIndexed(nw, preEpoch)
+      .collect().map(_.getLong(0)).toSet == recompute,
+      "partial (marker-less) compaction must not change what readers see")
+
+    // publish epoch 1: the re-run overwrites the partial table
+    assert(Dedup.compactGramIndex(spark, idxDir, numPostingFiles = 4) == 1)
+    val idx1 = Dedup.readGramIndex(spark, idxDir)
+    assert(Dedup.incrementalDedupIdsIndexed(nw, idx1)
+      .collect().map(_.getLong(0)).toSet == recompute,
+      "compacted index must equal the recompute path")
+    // compaction restores the writeGramIndex invariants: one df row per
+    // gram and a bounded, hash-ranged postings layout
+    val df1 = spark.read.parquet(s"$idxDir/gramdf-e1")
+    assert(df1.groupBy("g").count().where(col("count") > 1).isEmpty,
+      "df partials must collapse to one row per gram")
+    val postingFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idxDir/grams-e1"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(postingFiles <= 4, s"postings must re-bucket, got $postingFiles files")
+
+    // appends land in the CURRENT epoch and a second compact folds them;
+    // epoch 0's tables are dropped only now (one-epoch deletion grace)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/grams")))
+    Dedup.appendGramIndex(nw, idxDir) // corpus grows by the new batch
+    assert(Dedup.compactGramIndex(spark, idxDir) == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/grams")),
+      "epoch-0 tables deleted when epoch 2 published")
+    val idx2 = Dedup.readGramIndex(spark, idxDir)
+    val grown = docs // old ∪ nw
+    val recompute2 = Dedup.incrementalDedupIds(
+      docs.where(col("doc_id") % 10 === 7), grown)
+      .collect().map(_.getLong(0)).toSet
+    assert(Dedup.incrementalDedupIdsIndexed(docs.where(col("doc_id") % 10 === 7), idx2)
+      .collect().map(_.getLong(0)).toSet == recompute2,
+      "append-into-epoch + second compact must equal recompute on the grown corpus")
+
+    // a rebuild resets the epoch history (stale markers must not point
+    // readers at dropped epoch tables). Benign log noise here: an AQE
+    // stage-materialization future orphaned by the previous query's
+    // broadcast re-plan may still be scanning the old epoch tables when
+    // the rebuild deletes them — its FAILED_READ abort is unobserved by
+    // construction (the query's result never depended on it).
+    Dedup.writeGramIndex(old, idxDir, n = 3)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(idxDir))
+      .forall(!_.getPath.getName.startsWith("_epoch-")),
+      "writeGramIndex must clear epoch markers")
+    assert(Dedup.incrementalDedupIdsIndexed(nw, Dedup.readGramIndex(spark, idxDir))
+      .collect().map(_.getLong(0)).toSet == recompute)
   }
 
   test("centroidClassify == independent md5 sparse-vector model") {
