@@ -189,11 +189,40 @@ object Main {
         val kept = snk.readCommitted("events").map(_.count()).getOrElse(0L)
         println(s"[ingest] kept=$kept sources=${snk.tables().size} " +
           s"batches=${snk.committedBatchIds.size}")
+      case "index" :: action :: indexDir :: rest =>
+        // gram-index maintenance lifecycle from the ops runbook:
+        //   index build  <indexDir> <corpusDir> [n]   (rebuild, epoch 0)
+        //   index append <indexDir> <batchDir>        (day-sized growth)
+        //   index compact <indexDir> [numPostingFiles] (fold generations)
+        //   index stat   <indexDir>                   (sizes per table)
+        action match {
+          case "build" =>
+            val corpus = spark.read.parquet(rest.head)
+            val n = rest.lift(1).map(_.toInt).getOrElse(3)
+            ops.Dedup.writeGramIndex(corpus, indexDir, n = n)
+            println(s"[index] built n=$n docs=${corpus.count()}")
+          case "append" =>
+            val batch = spark.read.parquet(rest.head)
+            ops.Dedup.appendGramIndex(batch, indexDir)
+            println(s"[index] appended docs=${batch.count()}")
+          case "compact" =>
+            val files = rest.headOption.map(_.toInt).getOrElse(32)
+            val epoch = ops.Dedup.compactGramIndex(spark, indexDir, files)
+            println(s"[index] compacted epoch=$epoch")
+          case "stat" =>
+            val idx = ops.Dedup.readGramIndex(spark, indexDir)
+            println(s"[index] n=${idx.n} docs=${idx.counts.count()} " +
+              s"postings=${idx.grams.count()} grams=${idx.gramDf.count()} " +
+              s"md5s=${idx.md5s.count()}")
+          case a =>
+            System.err.println(s"unknown index action: $a"); sys.exit(2)
+        }
       case other =>
         System.err.println(s"unknown args: ${other.mkString(" ")}\n" +
           "usage: gen <tableDir> [numConvs] [avgTurns] [zipf] | run <tableDir> <workDir> [mft] | " +
           "materialize <workDir> | lineage <workDir> | " +
-          "ingest <docsDir> <workDir> [minQuality] [knownDir]")
+          "ingest <docsDir> <workDir> [minQuality] [knownDir] | " +
+          "index build|append|compact|stat <indexDir> [args]")
         sys.exit(2)
     }
   }

@@ -671,12 +671,18 @@ object Queries {
     * via `writeIvfIndex` (cid-partitioned parquet + JSON model sidecar),
     * probed via `readIvfIndex` + `ivfSearch`, so the at-rest round-trip
     * sits under the same brute-force oracle as the inline path and the
-    * probe is a partition-pruned read (PlanSpec).
+    * probe is a partition-pruned read (PlanSpec). The fixture index is
+    * built through the maintenance lifecycle — write(¾ of the vectors) →
+    * append(the rest) — so the gate also proves search stays exact over
+    * appended partitions with merged radii (centroids trained on the
+    * initial ¾ only; exactness is by construction at ANY centroids).
     */
   def q57AnnIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureIndexDir(spark, sfDir, "ivf-64") { d =>
-      graft.ops.Similarity.writeIvfIndex(table(spark, sfDir, "embeddings"), d,
+      val embs = table(spark, sfDir, "embeddings")
+      graft.ops.Similarity.writeIvfIndex(embs.where(col("vec_id") % 4 =!= 1), d,
         nlist = 64)
+      graft.ops.Similarity.appendIvfIndex(embs.where(col("vec_id") % 4 === 1), d)
       ()
     }
     val (index, model) = graft.ops.Similarity.readIvfIndex(spark, dir)
