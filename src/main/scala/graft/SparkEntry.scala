@@ -82,7 +82,8 @@ object SparkEntry {
     "q59_semantic_dedup" -> (Queries.q59SemanticDedup _),
     "q60_containment" -> (Queries.q60Containment _),
     "q61_winnow" -> (Queries.q61Winnow _),
-    "q62_gram_novelty" -> (Queries.q62GramNovelty _)
+    "q62_gram_novelty" -> (Queries.q62GramNovelty _),
+    "q63_event_bigrams" -> (Queries.q63EventBigrams _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -798,6 +799,18 @@ object SparkEntry {
         |  sum_df * tng * 4 < n_grams * tdf * 3 AS is_rare,
         |  sum_df * tng * 2 > n_grams * tdf * 3 AS is_boiler
         |FROM per, tot""".stripMargin,
+    // q63 mirror: lead() over the same (user; ts, event_id) total order;
+    // gaps in exact integer microseconds (epoch_us — no float time math)
+    "q63_event_bigrams" ->
+      """SELECT from_type, to_type, count(*) AS n_transitions,
+        |  sum(gap_us) AS total_gap_us
+        |FROM (SELECT event_type AS from_type,
+        |        lead(event_type) OVER w AS to_type,
+        |        lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // q56 mirror: the q53 curation chain + the near stage — curated docs
     // sharing ≥0.6 3-gram jaccard with any distinct known text are dropped
     // (grams on TEXT; the operator joins 64-bit fingerprints — the q39/q46

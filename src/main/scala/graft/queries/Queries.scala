@@ -377,6 +377,34 @@ object Queries {
         .cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
 
+  /** q63: event-transition mining — the role/tool-SEQUENCE analytics a
+    * transcript pipeline runs (which step follows which, and how long the
+    * hand-off dwells): per user, order events by (ts, event_id) and count
+    * every (event_type → next) bigram, plus the exact total gap in
+    * integer microseconds (no float time math — the q31 convention).
+    *
+    * Scale: ONE shuffle on user_id (the per-key sharding every stateful
+    * stage already uses — co-partitions with CEP/sessionization at
+    * 100 TB), `lead` within the partition, then a hash agg on the tiny
+    * (from, to) domain with map-side combine. No global sort, no driver
+    * work, output bounded by |event_type|².
+    */
+  def q63EventBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // ts is TIMESTAMP_NTZ; the session TZ is pinned UTC everywhere, so the
+    // cast is the identity on the microsecond line (and gaps are diffs —
+    // any fixed offset cancels)
+    val us = unix_micros(col("ts").cast("timestamp"))
+    table(spark, sfDir, "events")
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"),
+        (lead(us, 1).over(w) - us).as("gap_us"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("gap_us")).as("total_gap_us"))
+  }
+
   /** q39: substring-level dedup report — per document, how many of its
     * 8-token sliding windows repeat verbatim in OTHER documents (the Lee
     * et al. 2021 substring-dedup signal; complements doc-level q10–q13).
