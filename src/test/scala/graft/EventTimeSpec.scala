@@ -488,4 +488,80 @@ class EventTimeSpec extends SparkSpec {
       .select(col("k"), col("tie")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(cur == Map("u1" -> 4L, "u2" -> 6L, "u3" -> 7L))
   }
+
+  // ---------------- streaming event-transition mining (q63 twin) ----------------
+
+  test("transition mining: streaming == batch; out-of-order + micro ties + redelivery") {
+    import graft.pipeline.Transitions
+    import spark.implicits._
+    val t0 = 1700000000000000L // micros
+    def mkTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    // user 1 has a same-microsecond tie (ids 2,3) that only the
+    // (ts, event_id) total order resolves, plus sub-millisecond gaps that
+    // only exact micro arithmetic preserves; user 2 is a plain pair
+    val evs = Seq(
+      (1L, 1L, "view", mkTs(t0)),
+      (1L, 2L, "click", mkTs(t0 + 1500)),
+      (1L, 3L, "view", mkTs(t0 + 1500)),
+      (1L, 4L, "purchase", mkTs(t0 + 30000000L)),
+      (2L, 10L, "view", mkTs(t0 + 5000000L)),
+      (2L, 11L, "view", mkTs(t0 + 7000000L)))
+    val batchDf = evs.toDF("user_id", "event_id", "event_type", "ts")
+
+    // independent oracle: the q63 window shape inline
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val want = batchDf
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"),
+        (lead(us, 1).over(w) - us).as("gap_us"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("gap_us")).as("total_gap_us"))
+
+    def agg(transitions: DataFrame): DataFrame = transitions
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("gap_us")).as("total_gap_us"))
+
+    // batch mode of the operator == the window oracle
+    assertSameRows(agg(Transitions.mine(batchDf, streaming = false).toDF()),
+      want, "batch-mode transition mining == window oracle")
+
+    // streaming: deliver out of order across files (file 2 carries events
+    // OLDER than file 1's max, inside the watermark delay), then redeliver
+    // everything inside the window, then watermark-advancing sentinels
+    val dir = tmpDir("trans")
+    def writeF(name: String, rows: Seq[(Long, Long, String, Timestamp)]): Unit = {
+      val tmp = s"$dir/.tmp-$name"
+      rows.toDF("user_id", "event_id", "event_type", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val (f2, f1) = evs.partition(e => e._2 == 2L || e._2 == 11L)
+    writeF("b1", f1)
+    writeF("b2", f2)
+    writeF("b3", f1 ++ f2) // full at-least-once redelivery inside the window
+    writeF("b4", Seq((99L, 900L, "hb", mkTs(t0 + 86400L * 1000000L))))
+    writeF("b5", Seq((99L, 901L, "hb", mkTs(t0 + 172800L * 1000000L))))
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ts", "60 seconds")
+    val got = runToMemory(Transitions.mine(stream, streaming = true).toDF(),
+      "trans_s", "append")
+      .where(col("user_id") =!= 99L)
+    assertSameRows(agg(got), want, "streaming transition mining == batch")
+    // pin the exact per-user transitions independently of the oracle shape
+    val u1 = got.where(col("user_id") === 1L).orderBy(col("gap_us"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(u1 == Seq(("click", "view", 0L), ("view", "click", 1500L),
+      ("view", "purchase", 29998500L)), s"u1 transitions: $u1")
+  }
 }
