@@ -83,7 +83,8 @@ object SparkEntry {
     "q60_containment" -> (Queries.q60Containment _),
     "q61_winnow" -> (Queries.q61Winnow _),
     "q62_gram_novelty" -> (Queries.q62GramNovelty _),
-    "q63_event_bigrams" -> (Queries.q63EventBigrams _)
+    "q63_event_bigrams" -> (Queries.q63EventBigrams _),
+    "q64_retract_agg" -> (Queries.q64RetractAgg _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -958,6 +959,19 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_before,
         |  coalesce(n_after, 0) AS n_after,
         |  md5(coalesce(ntext, '')) AS new_md5
-        |FROM t LEFT JOIN nt ON t.doc_id = nt.doc_id""".stripMargin
+        |FROM t LEFT JOIN nt ON t.doc_id = nt.doc_id""".stripMargin,
+    // q64 mirror: the current table implied by the synthetic changelog —
+    // latest change per user by (ts DESC, event_id DESC), keys whose
+    // latest op is a delete absent — aggregated per group. Exact integer
+    // values (event_id % 997), no floats anywhere.
+    "q64_retract_agg" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    event_type, event_id % 997 AS v FROM events),
+        |latest AS (SELECT * FROM c QUALIFY row_number()
+        |    OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT event_type AS grp, count(*) AS n_keys,
+        |  CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM latest WHERE op <> 'D' GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,180 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Continuously-maintained per-group aggregates over a keyed
+  * upsert/delete changelog — the dynamic-table / RETRACT-STREAM semantic
+  * that sits downstream of every CDC connector (the reference emits
+  * +I/-U/+U/-D changelogs precisely so consumers can maintain aggregate
+  * views without reprocessing; reference docs "Data Pipeline" use — our
+  * LWW materialization is the per-KEY current view, this is the per-GROUP
+  * aggregate over it, kept exact as keys move between groups or die).
+  *
+  * Batch: the current table implied by the changelog (latest change per
+  * key, deleted keys absent) aggregated per group. One shuffle on the key
+  * — the same sharding the LWW view / SCD2 / CEP stages use, so at 100 TB
+  * the window runs co-partitioned — then a hash aggregate with map-side
+  * combine on the (small) group domain. No driver work.
+  *
+  * Streaming: `flatMapGroupsWithState` keyed by the entity key, holding
+  * the key's CURRENT (group, value) plus the unripe (above-watermark)
+  * arrivals. Each change, once sealed by the watermark and ordered by
+  * (ts, tie), emits up to two deltas: a retraction `(old_group, -1, -old_v)`
+  * for the row it replaces and an insertion `(new_group, +1, +v)` unless
+  * it is a delete. Folding the deltas per group (sum of d_keys / d_sum)
+  * reproduces the batch aggregate at every watermark frontier — the
+  * telescoping is exact because intermediate versions cancel, so the fold
+  * equals the LATEST-row aggregate no matter how many changes a key saw
+  * (EventTimeSpec pins fold == batch under out-of-order delivery,
+  * same-microsecond ties, redelivery, group moves, and deletes).
+  *
+  * Design for scale:
+  *   - State per key is O(1) (the current row) + the unripe buffer, which
+  *     is bounded by watermark delay × per-key change rate and drains
+  *     every trigger — the same bound as the as-of join / SCD2 buffers.
+  *   - Deltas are append-only and replayable into the exactly-once sink;
+  *     the per-group fold is a downstream hash aggregate on the tiny
+  *     group domain (or a `groupBy` in update mode over the sink).
+  *   - Values are exact integers (longs) end to end — retraction algebra
+  *     over floats would accumulate cancellation error; over longs the
+  *     fold is bit-exact.
+  */
+object Retractions {
+
+  /** Batch form: aggregate the CURRENT table implied by the changelog —
+    * the latest change per key in (`tsCol`, `tieCol`) order, keys whose
+    * latest op is a delete absent — into per-group
+    * `(grp, n_keys, sum_v)`. Ops: anything other than "D" upserts.
+    */
+  def currentAggregate(changes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, opCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    changes
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col(opCol) =!= lit("D"))
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_keys"), sum(col(valueCol)).as("sum_v"))
+  }
+
+  /** Envelope: one keyed change. `op` == "D" deletes the key; anything
+    * else upserts (`grp`, `v`) as the key's current row. `tie` breaks
+    * equal-timestamp ordering (source lsn / event id) — the same total
+    * order every other keyed stage uses.
+    */
+  final case class ChangeEvent(k: Long, ts: Timestamp, tie: Long, op: String,
+      grp: String, v: Long) {
+    def tsMs: Long = ts.getTime
+    // getTime already includes the integral-millisecond part of nanos;
+    // only the sub-millisecond remainder is added back for exact micros
+    def tsUs: Long = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
+  }
+
+  /** One retraction delta. Fold per `grp` (sum d_keys, sum d_sum); groups
+    * folding to d_keys == 0 hold no current keys and are absent from the
+    * batch aggregate.
+    */
+  final case class AggDelta(grp: String, d_keys: Long, d_sum: Long)
+
+  /** Compact change kept in the unripe buffer: primitives only — the
+    * payload the deltas need, nothing else enters state.
+    */
+  final case class Chg(tsUs: Long, tsMs: Long, tie: Long, del: Boolean,
+      grp: String, v: Long)
+
+  /** Per-key state: the current row (None = key absent/deleted) + the
+    * not-yet-sealed arrivals. `hasCur` disambiguates "no current row"
+    * from "never seen" so a delete of a live key retracts exactly once.
+    */
+  final case class RetractState(hasCur: Boolean, curGrp: String, curV: Long,
+      pending: Seq[Chg])
+
+  private def emptyState = RetractState(hasCur = false, "", 0L, Vector.empty)
+
+  private def process(it: Iterator[ChangeEvent], state: GroupState[RetractState],
+      streaming: Boolean): Iterator[AggDelta] = {
+    var s = state.getOption.getOrElse(emptyState)
+    if (!(streaming && state.hasTimedOut)) {
+      // at-least-once delivery: a redelivered change still inside the
+      // watermark window arrives before the original drains — dedup the
+      // buffer by tie so it can't apply twice. (A redelivery of an
+      // already-drained change is older than the watermark by definition
+      // and Spark's watermark filter drops it before this operator.)
+      val have = s.pending.iterator.map(_.tie).toSet
+      val fresh = it.map(e => Chg(e.tsUs, e.tsMs, e.tie, e.op == "D", e.grp, e.v))
+        .filterNot(c => have(c.tie)).toSeq.distinctBy(_.tie)
+      s = s.copy(pending = s.pending ++ fresh)
+    }
+    // batch input is complete: everything is ripe by definition. Streaming
+    // seals strictly below the watermark — a same-timestamp sibling with a
+    // smaller tie could still arrive at the boundary.
+    val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+    val (ripe, wait) = s.pending.partition(_.tsMs < wm)
+    val out = scala.collection.mutable.Buffer[AggDelta]()
+    if (ripe.nonEmpty) {
+      var hasCur = s.hasCur
+      var curGrp = s.curGrp
+      var curV = s.curV
+      ripe.sortBy(c => (c.tsUs, c.tie)).foreach { c =>
+        if (hasCur) out += AggDelta(curGrp, -1L, -curV)
+        if (c.del) { hasCur = false; curGrp = ""; curV = 0L }
+        else { hasCur = true; curGrp = c.grp; curV = c.v; out += AggDelta(c.grp, 1L, c.v) }
+      }
+      s = RetractState(hasCur, curGrp, curV, wait)
+    }
+    state.update(s)
+    // a key whose pending changes ripen in a batch that brings it no new
+    // data would starve without a timeout (same fix as the CEP drain)
+    if (streaming && s.pending.nonEmpty)
+      state.setTimeoutTimestamp(
+        math.max(s.pending.iterator.map(_.tsMs).min, wm + 1))
+    out.iterator
+  }
+
+  /** Streaming retraction aggregation — emits per-change deltas the
+    * moment the watermark seals them. In streaming mode `events` must
+    * carry an event-time watermark on `ts` (same contract as
+    * `Cep.detect`); output is append-mode deltas — fold downstream.
+    */
+  def retractStream(events: Dataset[ChangeEvent],
+      streaming: Boolean = true): Dataset[AggDelta] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState[RetractState, AggDelta](OutputMode.Append, timeoutConf) {
+        (_, it, state) => process(it, state, streaming)
+      }
+  }
+
+  /** Build the `ChangeEvent` envelope from a DataFrame changelog. `ts` is
+    * selected UNCAST (a cast mints a fresh attribute and strips event-time
+    * watermark metadata, breaking EventTimeTimeout).
+    */
+  def changeEvents(changes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, opCol: String, groupCol: String,
+      valueCol: String): Dataset[ChangeEvent] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+      col(tieCol).cast("long").as("tie"), col(opCol).as("op"),
+      col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .as[ChangeEvent]
+  }
+
+  /** Fold a delta set per group — the aggregate table the deltas imply.
+    * Groups whose key count folds to zero are dropped (they hold no
+    * current keys; the batch aggregate has no row for them).
+    */
+  def foldDeltas(deltas: DataFrame): DataFrame =
+    deltas.groupBy(col("grp"))
+      .agg(sum(col("d_keys")).as("n_keys"), sum(col("d_sum")).as("sum_v"))
+      .where(col("n_keys") > 0)
+}

@@ -405,6 +405,30 @@ object Queries {
       .agg(count(lit(1)).as("n_transitions"), sum(col("gap_us")).as("total_gap_us"))
   }
 
+  /** q64: changelog aggregation with retractions — the per-group
+    * aggregate over the CURRENT table implied by an upsert/delete
+    * changelog (the dynamic-table semantic every CDC consumer maintains:
+    * as keys move between groups or die, the view stays exact without
+    * reprocessing). The changelog derives deterministically from
+    * `events`: each row upserts its user's (event_type, v) unless
+    * event_id % 17 == 0, which deletes the user. `Retractions
+    * .retractStream` is the streaming twin — per-change retraction
+    * deltas whose per-group fold EventTimeSpec pins == this batch form.
+    *
+    * Scale: one shuffle on user_id (co-partitioned with the LWW view /
+    * SCD2 / CEP stages), `row_number` inside the partition, then a hash
+    * aggregate with map-side combine on the tiny group domain. Values
+    * are exact integers — retraction algebra over longs is bit-exact.
+    */
+  def q64RetractAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ch = table(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_id") % 17 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("event_type"), (col("event_id") % 997).as("v"))
+    graft.pipeline.Retractions.currentAggregate(ch, "user_id", "ts",
+      "event_id", "op", "event_type", "v")
+  }
+
   /** q39: substring-level dedup report — per document, how many of its
     * 8-token sliding windows repeat verbatim in OTHER documents (the Lee
     * et al. 2021 substring-dedup signal; complements doc-level q10–q13).

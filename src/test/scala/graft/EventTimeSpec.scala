@@ -564,4 +564,77 @@ class EventTimeSpec extends SparkSpec {
     assert(u1 == Seq(("click", "view", 0L), ("view", "click", 1500L),
       ("view", "purchase", 29998500L)), s"u1 transitions: $u1")
   }
+
+  // ---------------- retraction aggregation (q64 twin) ----------------
+
+  test("retraction agg: delta fold == batch; group moves, deletes, ties, redelivery") {
+    import graft.pipeline.Retractions
+    import spark.implicits._
+    val t0 = 1700000000000000L // micros
+    def mkTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    // u1 moves a → b → c with a same-microsecond tie (ids 2,3) that only
+    // the (ts, tie) total order resolves; u2 is upserted then DELETED;
+    // u3 is a plain single upsert. Groups: a holds u3 only, b folds to
+    // zero (must vanish), c holds u1.
+    val rows = Seq(
+      (1L, mkTs(t0), 1L, "U", "a", 10L),
+      (1L, mkTs(t0 + 1500), 2L, "U", "b", 20L),
+      (1L, mkTs(t0 + 1500), 3L, "U", "c", 30L),
+      (2L, mkTs(t0 + 5000000L), 10L, "U", "a", 5L),
+      (2L, mkTs(t0 + 9000000L), 11L, "D", "", 0L),
+      (3L, mkTs(t0 + 2000000L), 20L, "U", "a", 7L))
+    val batchDf = rows.toDF("user_id", "ts", "event_id", "op", "grp", "v")
+
+    val want = Retractions.currentAggregate(batchDf, "user_id", "ts",
+      "event_id", "op", "grp", "v")
+    val wantMap = want.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wantMap == Map("a" -> (1L, 7L), "c" -> (1L, 30L)),
+      s"batch current aggregate: $wantMap")
+
+    // batch mode of the streaming operator: fold == currentAggregate
+    val batchFold = Retractions.foldDeltas(Retractions.retractStream(
+      Retractions.changeEvents(batchDf, "user_id", "ts", "event_id",
+        "op", "grp", "v"), streaming = false).toDF())
+    assertSameRows(batchFold, want, "batch-mode retract fold == currentAggregate")
+
+    // streaming: out-of-order delivery across files (file 2 carries the
+    // tie sibling and the delete, both OLDER than file 1's max), a full
+    // at-least-once redelivery inside the window, then watermark sentinels
+    val dir = tmpDir("retract")
+    def writeF(name: String, rs: Seq[(Long, Timestamp, Long, String, String, Long)]): Unit = {
+      val tmp = s"$dir/.tmp-$name"
+      rs.toDF("user_id", "ts", "event_id", "op", "grp", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val (f2, f1) = rows.partition(r => r._3 == 2L || r._3 == 11L)
+    writeF("b1", f1)
+    writeF("b2", f2)
+    writeF("b3", f1 ++ f2)
+    writeF("b4", Seq((99L, mkTs(t0 + 86400L * 1000000L), 900L, "U", "hb", 0L)))
+    writeF("b5", Seq((99L, mkTs(t0 + 172800L * 1000000L), 901L, "U", "hb", 0L)))
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ts", "60 seconds")
+    val got = runToMemory(Retractions.retractStream(
+      Retractions.changeEvents(stream, "user_id", "ts", "event_id",
+        "op", "grp", "v")).toDF(), "retract_s", "append")
+      .where(col("grp") =!= "hb")
+    assertSameRows(Retractions.foldDeltas(got), want,
+      "streaming retract fold == batch current aggregate")
+    // the delta log itself: exactly one retraction per replaced/deleted
+    // version — 3 insert-side and 2 retract-side rows for u1+u2+u3 minus
+    // the sentinel, i.e. the telescoping is visible, not just its sum
+    val deltas = got.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(deltas.count(_._2 == 1L) == 5 && deltas.count(_._2 == -1L) == 3,
+      s"delta log shape: ${deltas.toSeq}")
+  }
 }
