@@ -35,7 +35,10 @@ object ClusterCheck {
     // round-6 additions: SCD2 keyed window, the centroid-blocked cosine
     // self-join (centroid_dists in a replicate/join shape), winnowing's
     // frame-aggregate selection, and the decimal-plane novelty flags
-    "q58_scd2", "q59_semantic_dedup", "q61_winnow", "q62_gram_novelty")
+    "q58_scd2", "q59_semantic_dedup", "q61_winnow", "q62_gram_novelty",
+    // per-key ordered windows over events: the transition bigrams and the
+    // changelog current-table aggregate (retraction algebra's batch form)
+    "q63_event_bigrams", "q64_retract_agg")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     val cols = df.columns.sorted

@@ -84,7 +84,9 @@ object SparkEntry {
     "q61_winnow" -> (Queries.q61Winnow _),
     "q62_gram_novelty" -> (Queries.q62GramNovelty _),
     "q63_event_bigrams" -> (Queries.q63EventBigrams _),
-    "q64_retract_agg" -> (Queries.q64RetractAgg _)
+    "q64_retract_agg" -> (Queries.q64RetractAgg _),
+    "q65_filtered_ann" -> (Queries.q65FilteredAnn _),
+    "q66_hard_negatives" -> (Queries.q66HardNegatives _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -972,6 +974,36 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
         |SELECT event_type AS grp, count(*) AS n_keys,
         |  CAST(sum(v) AS BIGINT) AS sum_v
-        |FROM latest WHERE op <> 'D' GROUP BY 1""".stripMargin
+        |FROM latest WHERE op <> 'D' GROUP BY 1""".stripMargin,
+    // q65 mirror: brute-force top-k restricted to the label predicate —
+    // the filtered set's true top-k (pre-filtering), same fold-order
+    // cosine and (c DESC, vec_id) tiebreak as the q14/q15 mirror.
+    "q65_filtered_ann" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |        list_dot_product(e.embedding::DOUBLE[], q.v)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q.v, q.v))) AS c
+        |      FROM embeddings e, q WHERE vec_id <> 0 AND label % 3 = 1)
+        |SELECT vec_id, round(c, 4) AS cosine FROM s
+        |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    // q66 mirror: the q41 brute-force ranking with the label-mismatch
+    // predicate applied BEFORE the window — every rank slot is a true
+    // negative, so a post-filter underfill breaks the hash.
+    "q66_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+        |           FROM embeddings
+        |           WHERE vec_id % 100 = 0
+        |             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |s AS (SELECT q.qid, e.vec_id,
+        |        list_dot_product(e.embedding::DOUBLE[], q.qv)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q.qv, q.qv))) AS c
+        |      FROM embeddings e, q
+        |      WHERE e.vec_id <> q.qid AND e.label <> q.ql
+        |        AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT qid, vec_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5""".stripMargin
   )
 }

@@ -87,13 +87,14 @@ object Similarity {
     */
   def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      pairFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     corpus.where(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
       .crossJoin(broadcast(
         queries.where(col(qvecCol).isNotNull && norm(col(qvecCol)) > 0)))
-      .where(col(idCol) =!= col(qidCol))
+      .where(col(idCol) =!= col(qidCol) && pairFilter)
       .withColumn("cosine",
         dot(col(vecCol), col(qvecCol)) /
           (norm(col(vecCol)) * norm(col(qvecCol))))
@@ -101,6 +102,24 @@ object Similarity {
       .where(col("rk") <= k)
       .select(col(qidCol), col(idCol), round(col("cosine"), 4).as("cosine"), col("rk"))
   }
+
+  /** HARD-NEGATIVE MINING: for every probe, the top-k nearest corpus
+    * vectors carrying a DIFFERENT label — the contrastive-training data
+    * op (high-cosine, wrong-class pairs are the negatives that move the
+    * loss; same-label neighbors are excluded BEFORE ranking, not after,
+    * so the k slots all hold true negatives). `knnJoin`'s broadcast-probe
+    * shape with the label mismatch as a pair predicate: the corpus is
+    * scanned once, narrow, and the predicate runs inside the same
+    * codegen'd stage as the cosine — no second pass, no post-filter
+    * underfill. Probes carry (`qidCol`, `qvecCol`, `qlabelCol`); the
+    * corpus label column is `labelCol`.
+    */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int,
+      labelCol: String = "label", qlabelCol: String = "qlabel",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame =
+    knnJoin(corpus, probes, k, idCol, vecCol, qidCol, qvecCol,
+      pairFilter = col(labelCol) =!= col(qlabelCol))
 
   /** CORPUS-SCALE batch kNN join: exact top-k cosine neighbors for every
     * query row when the query side is itself corpus-sized (dedup-against-
@@ -492,6 +511,27 @@ object Similarity {
     bruteForceTopK(index.where(col("cid").isin(buckets: _*)), query, k,
       excludeId, idCol, vecCol)
   }
+
+  /** FILTERED ANN: exact top-k among the index rows satisfying a metadata
+    * predicate (the "filtered vector search" every vector store treats as
+    * first-class — search within a language, a source, a date range). The
+    * filter applies BEFORE the distance compute — pre-filtering, so the k
+    * results are the true top-k of the filtered set, never a post-filtered
+    * underfill — and, on a `readIvfIndex` table, it pushes down to the
+    * parquet scan of the at-rest index, composing with the cid partition
+    * prune (PlanSpec pins PushedFilters).
+    *
+    * Exactness under filtering: bucket radii were computed over ALL
+    * members, which upper-bounds the distance of any FILTERED member, so
+    * the triangle-inequality expansion stays conservative — it can only
+    * over-probe, never wrongly prune (and a probed set with < k survivors
+    * expands to every bucket, as always).
+    */
+  def filteredSearch(index: DataFrame, model: IvfModel, query: Array[Float],
+      pred: Column, k: Int, nProbe: Int = 4, excludeId: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(index.where(pred), model, query, k, nProbe, excludeId,
+      idCol, vecCol)
 
   /** Build + search in one call (q15). The index cache lives only for the
     * duration of the search: the k result rows are materialized eagerly and

@@ -742,6 +742,41 @@ object Queries {
       k = 10, nProbe = 4, excludeId = Some(0L))
   }
 
+  /** q65: FILTERED ANN through the persisted index — exact top-k among
+    * the vectors satisfying a metadata predicate (label % 3 == 1),
+    * pre-filtered so every slot holds a true match. Reuses q57's at-rest
+    * fixture index: the predicate pushes down to the index parquet scan
+    * and composes with the cid partition prune (PlanSpec).
+    */
+  def q65FilteredAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIndexDir(spark, sfDir, "ivf-64") { d =>
+      val embs = table(spark, sfDir, "embeddings")
+      graft.ops.Similarity.writeIvfIndex(embs.where(col("vec_id") % 4 =!= 1), d,
+        nlist = 64)
+      graft.ops.Similarity.appendIvfIndex(embs.where(col("vec_id") % 4 === 1), d)
+      ()
+    }
+    val (index, model) = graft.ops.Similarity.readIvfIndex(spark, dir)
+    graft.ops.Similarity.filteredSearch(index, model,
+      queryVec(spark, sfDir, 0L), pred = col("label") % 3 === 1,
+      k = 10, nProbe = 4, excludeId = Some(0L))
+  }
+
+  /** q66: hard-negative mining — for every probe (vec_id % 100 == 0), the
+    * top-5 nearest vectors carrying a DIFFERENT label: the high-cosine
+    * wrong-class pairs contrastive training feeds on. The label mismatch
+    * is a pair predicate inside the scoring stage (pre-filter — all 5
+    * slots are true negatives), on `knnJoin`'s broadcast-probe shape: one
+    * narrow corpus scan, no corpus shuffle.
+    */
+  def q66HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val embs = table(spark, sfDir, "embeddings")
+    val probes = embs.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    graft.ops.Similarity.hardNegatives(embs, probes, k = 5)
+  }
+
   /** q58: SCD2 history materialization of the `events` changelog — each
     * user's event stream becomes versioned rows with validity intervals
     * (the warehouse history table a CDC pipeline feeds; `Scd2.scd2Stream`

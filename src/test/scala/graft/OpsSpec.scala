@@ -588,6 +588,60 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("filteredSearch == brute force over the filtered set, incl. forced expansion") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qv = emb.where(col("vec_id") === 0L)
+      .select("embedding").first().getSeq[Float](0).toArray
+    val pred = col("label") % 3 === 1
+    val want = Similarity.bruteForceTopK(emb.where(pred), qv, k = 10,
+      excludeId = Some(0L))
+    val (index, model) = Similarity.buildIvfIndex(emb, nlist = 16)
+    val cached = index.persist()
+    try {
+      assertSameRows(
+        Similarity.filteredSearch(cached, model, qv, pred, k = 10, nProbe = 4),
+        want, "filtered ANN, nlist=16 nProbe=4")
+      // stress: one probed bucket of 16 holds < k filtered survivors for
+      // sure at this corpus size — the < k fallback + triangle-inequality
+      // expansion must recover the full filtered top-k
+      assertSameRows(
+        Similarity.filteredSearch(cached, model, qv, pred, k = 10, nProbe = 1),
+        want, "filtered ANN, forced expansion")
+      // pre-filtering, not post-: every returned row satisfies the predicate
+      val labels = Similarity.filteredSearch(cached, model, qv, pred, k = 10,
+          nProbe = 1).join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .select("label").collect().map(_.getInt(0))
+      assert(labels.nonEmpty && labels.forall(_ % 3 == 1), s"labels: ${labels.toSeq}")
+    } finally { cached.unpersist(); () }
+  }
+
+  test("hardNegatives == per-probe brute force over the other-label subset") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val got = Similarity.hardNegatives(emb, probes, k = 5)
+    val ps = probes.select("qid", "qlabel").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(ps.length >= 2, "need multiple probes")
+    ps.foreach { case (qid, ql) =>
+      val qv = emb.where(col("vec_id") === qid)
+        .select("embedding").first().getSeq[Float](0).toArray
+      assertSameRows(
+        got.where(col("qid") === qid).select(col("vec_id"), col("cosine")),
+        Similarity.bruteForceTopK(emb.where(col("label") =!= ql), qv, k = 5,
+          excludeId = Some(qid)),
+        s"hard negatives probe $qid")
+    }
+    // no same-label pair anywhere: the mismatch is a PRE-filter, so all k
+    // slots hold true negatives
+    val sameLabel = got
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .join(probes.select(col("qid"), col("qlabel")), "qid")
+      .where(col("label") === col("qlabel")).count()
+    assert(sameLabel == 0L, s"$sameLabel same-label pairs leaked into the negatives")
+  }
+
   // independent reimplementation of TextAnalysis.tokenHash60 for the
   // Corpus model checks (MessageDigest, not Spark expressions)
   private def hash60(s: String): Long =

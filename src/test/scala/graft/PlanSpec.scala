@@ -282,6 +282,26 @@ class PlanSpec extends SparkSpec {
       "probe must prune cid partitions at the scan:\n" + p.take(1200))
   }
 
+  test("q65: filtered ANN — label predicate pushed to the index scan, cid partitions pruned") {
+    val p = plan(Queries.q65FilteredAnn(spark, sf))
+    val scan = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("label")).getOrElse("")
+    assert(scan.nonEmpty,
+      "label predicate must push down to the at-rest index parquet scan:\n" + p.take(1200))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cid"),
+      "probe must still prune cid partitions at the scan:\n" + p.take(1200))
+  }
+
+  test("q66: hard negatives — probes broadcast; corpus vectors never enter an exchange") {
+    val p = plan(Queries.q66HardNegatives(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probe side must broadcast:\n" + p.take(800))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("embedding#"))
+    assert(!bad, "corpus vectors must not shuffle (only per-qid scores do):\n" + p.take(800))
+  }
+
   test("q51: centroid classify — centroids broadcast back, no text in any exchange") {
     val p = plan(Queries.q51CentroidClassify(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
