@@ -25,4 +25,15 @@ object FsText {
     val out = fs.create(p, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
   }
+
+  /** Atomically publish a small text file: write a sibling temp, then the
+    * single rename IS the visibility point (the sink's manifest rule).
+    */
+  def writeAtomic(fs: FileSystem, p: Path, text: String): Unit = {
+    val tmp = new Path(p.getParent, s".tmp-${p.getName}")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"atomic publish failed for $p")
+  }
 }

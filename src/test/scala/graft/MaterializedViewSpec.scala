@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{MaterializedView, Retractions}
+
+/** The dynamic-table loop end to end (changelog → retraction deltas →
+  * exactly-once bucket-wise view folds) plus the fold's crash-window and
+  * lifecycle edges driven directly through `applyDeltas`.
+  */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  test("streamed view == batch currentAggregate; rerun is a no-op") {
+    val t0 = 1700000000000000L
+    val rows = Seq(
+      (1L, mkTs(t0), 1L, "U", "a", 10L),
+      (1L, mkTs(t0 + 1500), 2L, "U", "b", 20L),
+      (1L, mkTs(t0 + 1500), 3L, "U", "c", 30L),
+      (2L, mkTs(t0 + 5000000L), 10L, "U", "a", 5L),
+      (2L, mkTs(t0 + 9000000L), 11L, "D", "", 0L),
+      (3L, mkTs(t0 + 2000000L), 20L, "U", "a", 7L))
+    val batchDf = rows.toDF("user_id", "ts", "event_id", "op", "grp", "v")
+    val want = Retractions.currentAggregate(batchDf, "user_id", "ts",
+      "event_id", "op", "grp", "v")
+
+    val src = tmpDir("mv-src")
+    def writeF(name: String, rs: Seq[(Long, Timestamp, Long, String, String, Long)]): Unit = {
+      val tmp = s"$src/.tmp-$name"
+      rs.toDF("user_id", "ts", "event_id", "op", "grp", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    // out of order: file 2 carries the tie sibling and the delete, both
+    // older than file 1's max; sentinels advance the watermark so every
+    // real change seals before the stream drains
+    val (f2, f1) = rows.partition(r => r._3 == 2L || r._3 == 11L)
+    writeF("b1", f1)
+    writeF("b2", f2)
+    writeF("b3", Seq((99L, mkTs(t0 + 86400L * 1000000L), 900L, "U", "hb", 0L)))
+    writeF("b4", Seq((99L, mkTs(t0 + 172800L * 1000000L), 901L, "U", "hb", 0L)))
+    val work = tmpDir("mv-work")
+    val ck = tmpDir("mv-ck")
+    val q = MaterializedView.start(spark, src, batchDf.schema, work, ck,
+      watermark = "60 seconds", nBuckets = 8)
+    q.awaitTermination()
+    val view = new MaterializedView(spark, work, nBuckets = 8)
+    assertSameRows(view.read().where(col("grp") =!= "hb"), want,
+      "streamed view == batch current aggregate")
+
+    // resume with nothing new: no-op, view byte-identical, no new commits
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val commitsBefore = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$work/_commits")).length
+    val q2 = MaterializedView.start(spark, src, batchDf.schema, work, ck,
+      watermark = "60 seconds", nBuckets = 8)
+    q2.awaitTermination()
+    assertSameRows(view.read().where(col("grp") =!= "hb"), want,
+      "rerun leaves the view unchanged")
+    val commitsAfter = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$work/_commits")).length
+    assert(commitsAfter == commitsBefore,
+      s"rerun must not fold new batches: $commitsBefore -> $commitsAfter")
+  }
+
+  test("applyDeltas: replay skip, uncommitted gens invisible, group death, zero-net batch") {
+    val work = tmpDir("mv-unit")
+    val view = new MaterializedView(spark, work, nBuckets = 4)
+    def d(rows: (String, Long, Long)*) = rows.toSeq.toDF("grp", "d_keys", "d_sum")
+    def state(): Map[String, (Long, Long)] = view.read().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    view.applyDeltas(0L, d(("a", 1L, 10L), ("b", 1L, 20L)))
+    view.applyDeltas(1L, d(("a", 1L, 5L), ("b", -1L, -20L), ("c", 1L, 1L)))
+    assert(state() == Map("a" -> (2L, 15L), "c" -> (1L, 1L)), s"after b1: ${state()}")
+
+    // replay of a committed batch is a whole-batch skip
+    view.applyDeltas(1L, d(("a", 100L, 100L)))
+    assert(state() == Map("a" -> (2L, 15L), "c" -> (1L, 1L)), "replay must be skipped")
+
+    // an uncommitted gen dir (crash between data write and marker) is
+    // invisible to read, and the batch's re-run overwrites it cleanly
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val bucketOfA = // same shard function as the view
+      spark.range(1).select(pmod(xxhash64(lit("a")), lit(4L))).first().getLong(0)
+    d(("a", 777L, 777L)).write.mode("overwrite")
+      .parquet(s"$work/data/bucket=$bucketOfA/gen=2")
+    assert(state() == Map("a" -> (2L, 15L), "c" -> (1L, 1L)),
+      "uncommitted gen must be invisible")
+    view.applyDeltas(2L, d(("a", 1L, 100L)))
+    assert(state() == Map("a" -> (3L, 115L), "c" -> (1L, 1L)),
+      s"re-run over a torn gen: ${state()}")
+
+    // group death: fold to zero keys removes the row; it must not
+    // resurrect when an unrelated later batch touches other buckets
+    view.applyDeltas(3L, d(("c", -1L, -1L)))
+    assert(state() == Map("a" -> (3L, 115L)), s"dead group removed: ${state()}")
+    view.applyDeltas(4L, d(("zz", 1L, 9L)))
+    assert(state() == Map("a" -> (3L, 115L), "zz" -> (1L, 9L)),
+      s"dead group must stay dead: ${state()}")
+
+    // a zero-net batch commits (replay-safe) without touching any bucket
+    val gensBefore = fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/data"))
+      .map(_.getPath.getName).sorted.toSeq
+    view.applyDeltas(5L, d(("a", 1L, 1L), ("a", -1L, -1L)))
+    assert(view.isCommitted(5L), "zero-net batch must still commit")
+    val gensAfter = fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/data"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(state() == Map("a" -> (3L, 115L), "zz" -> (1L, 9L)))
+    assert(gensBefore == gensAfter, "zero-net batch must not rewrite buckets")
+  }
+}
