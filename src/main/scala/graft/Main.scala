@@ -189,6 +189,20 @@ object Main {
         val kept = snk.readCommitted("events").map(_.count()).getOrElse(0L)
         println(s"[ingest] kept=$kept sources=${snk.tables().size} " +
           s"batches=${snk.committedBatchIds.size}")
+      case "view" :: changesDir :: workDir :: rest =>
+        // materialized aggregate-view maintenance (pipeline.MaterializedView):
+        // changelog file stream (user_id, ts, event_id, op, grp, v) →
+        // retraction deltas → exactly-once bucket-wise view folds
+        val watermark = rest.headOption.getOrElse("60 seconds")
+        val nBuckets = rest.lift(1).map(_.toInt).getOrElse(64)
+        val schema = spark.read.parquet(changesDir).schema
+        pipeline.MaterializedView.start(spark, changesDir, schema,
+          s"$workDir/view", s"$workDir/checkpoint", watermark,
+          nBuckets = nBuckets).awaitTermination()
+        val mv = new pipeline.MaterializedView(spark, s"$workDir/view", nBuckets)
+        val v = mv.read().orderBy(col("grp"))
+        v.show(50, truncate = false)
+        println(s"[view] groups=${v.count()}")
       case "index" :: action :: indexDir :: rest =>
         // gram-index maintenance lifecycle from the ops runbook:
         //   index build  <indexDir> <corpusDir> [n]   (rebuild, epoch 0)
@@ -222,6 +236,7 @@ object Main {
           "usage: gen <tableDir> [numConvs] [avgTurns] [zipf] | run <tableDir> <workDir> [mft] | " +
           "materialize <workDir> | lineage <workDir> | " +
           "ingest <docsDir> <workDir> [minQuality] [knownDir] | " +
+          "view <changesDir> <workDir> [watermark] [nBuckets] | " +
           "index build|append|compact|stat <indexDir> [args]")
         sys.exit(2)
     }

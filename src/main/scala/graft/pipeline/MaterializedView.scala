@@ -169,8 +169,14 @@ object MaterializedView {
       opCol: String = "op", groupCol: String = "grp", valueCol: String = "v",
       nBuckets: Int = 64, maxFilesPerTrigger: Int = 1): StreamingQuery = {
     val view = new MaterializedView(spark, workDir, nBuckets)
+    // parquet changelogs often carry TIMESTAMP_NTZ (the test tables do);
+    // watermarks require TIMESTAMP. The session TZ is pinned UTC
+    // everywhere, so the cast is the identity on the microsecond line —
+    // and it happens BEFORE the watermark, so the event-time metadata
+    // lands on the attribute `changeEvents` selects uncast.
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(changesDir)
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, watermark)
     val deltas = Retractions.retractStream(
       Retractions.changeEvents(stream, keyCol, tsCol, tieCol, opCol,
