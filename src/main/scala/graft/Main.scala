@@ -203,6 +203,19 @@ object Main {
         val v = mv.read().orderBy(col("grp"))
         v.show(50, truncate = false)
         println(s"[view] groups=${v.count()}")
+      case "table" :: changesDir :: workDir :: rest =>
+        // materialized CURRENT-TABLE maintenance (the LWW row store kept
+        // fresh at rest — `materialize`'s O(delta)-per-batch twin)
+        val watermark = rest.headOption.getOrElse("60 seconds")
+        val nBuckets = rest.lift(1).map(_.toInt).getOrElse(64)
+        val schema = spark.read.parquet(changesDir).schema
+        pipeline.MaterializedView.startTable(spark, changesDir, schema,
+          s"$workDir/table", s"$workDir/checkpoint", watermark,
+          nBuckets = nBuckets).awaitTermination()
+        val mt = new pipeline.MaterializedTable(spark, s"$workDir/table", nBuckets)
+        val t = mt.read()
+        t.orderBy(col("k")).show(20, truncate = false)
+        println(s"[table] keys=${t.count()}")
       case "index" :: action :: indexDir :: rest =>
         // gram-index maintenance lifecycle from the ops runbook:
         //   index build  <indexDir> <corpusDir> [n]   (rebuild, epoch 0)
@@ -237,6 +250,7 @@ object Main {
           "materialize <workDir> | lineage <workDir> | " +
           "ingest <docsDir> <workDir> [minQuality] [knownDir] | " +
           "view <changesDir> <workDir> [watermark] [nBuckets] | " +
+          "table <changesDir> <workDir> [watermark] [nBuckets] | " +
           "index build|append|compact|stat <indexDir> [args]")
         sys.exit(2)
     }

@@ -154,6 +154,56 @@ object Retractions {
       }
   }
 
+  /** One sealed per-key ROW delta: the key's current row became
+    * (`grp`, `v`) — or died (`del`) — at (`ts_us`, `tie`). Per key,
+    * deltas emit in (ts_us, tie) order and the order is monotone ACROSS
+    * batches (the watermark only advances), so a downstream row store may
+    * replace blindly: the last delta per key per batch IS the newest.
+    */
+  final case class RowDelta(k: Long, ts_us: Long, tie: Long, del: Boolean,
+      grp: String, v: Long)
+
+  final case class RowState(pending: Seq[Chg])
+
+  private def processRows(k: Long, it: Iterator[ChangeEvent],
+      state: GroupState[RowState], streaming: Boolean): Iterator[RowDelta] = {
+    var s = state.getOption.getOrElse(RowState(Vector.empty))
+    if (!(streaming && state.hasTimedOut)) {
+      // same redelivery contract as `process` (dedup by tie in-window;
+      // older-than-watermark redeliveries never reach this operator)
+      val have = s.pending.iterator.map(_.tie).toSet
+      val fresh = it.map(e => Chg(e.tsUs, e.tsMs, e.tie, e.op == "D", e.grp, e.v))
+        .filterNot(c => have(c.tie)).toSeq.distinctBy(_.tie)
+      s = RowState(s.pending ++ fresh)
+    }
+    val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+    val (ripe, wait) = s.pending.partition(_.tsMs < wm)
+    val out = ripe.sortBy(c => (c.tsUs, c.tie))
+      .map(c => RowDelta(k, c.tsUs, c.tie, c.del, c.grp, c.v))
+    state.update(RowState(wait))
+    if (streaming && wait.nonEmpty)
+      state.setTimeoutTimestamp(
+        math.max(wait.iterator.map(_.tsMs).min, wm + 1))
+    out.iterator
+  }
+
+  /** The SEALED changelog: every change, once final under the watermark,
+    * in its key's total (ts, tie) order — what a per-key row store folds
+    * (`MaterializedTable`). State is the unripe buffer ONLY (no current
+    * row — the store downstream is the current row).
+    */
+  def rowDeltaStream(events: Dataset[ChangeEvent],
+      streaming: Boolean = true): Dataset[RowDelta] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState[RowState, RowDelta](OutputMode.Append, timeoutConf) {
+        (k, it, state) => processRows(k, it, state, streaming)
+      }
+  }
+
   /** Build the `ChangeEvent` envelope from a DataFrame changelog. `ts` is
     * selected UNCAST (a cast mints a fresh attribute and strips event-time
     * watermark metadata, breaking EventTimeTimeout).

@@ -74,6 +74,67 @@ class MaterializedViewSpec extends SparkSpec {
       s"rerun must not fold new batches: $commitsBefore -> $commitsAfter")
   }
 
+  test("streamed row store == LWW current view; deletes drop rows") {
+    import graft.pipeline.MaterializedTable
+    val t0 = 1800000000000000L
+    val rows = Seq(
+      (1L, mkTs(t0), 1L, "U", "a", 10L),
+      (1L, mkTs(t0 + 1500), 2L, "U", "b", 20L),
+      (1L, mkTs(t0 + 1500), 3L, "U", "c", 30L),
+      (2L, mkTs(t0 + 5000000L), 10L, "U", "a", 5L),
+      (2L, mkTs(t0 + 9000000L), 11L, "D", "", 0L),
+      (3L, mkTs(t0 + 2000000L), 20L, "U", "a", 7L))
+    val src = tmpDir("mt-src")
+    def writeF(name: String, rs: Seq[(Long, Timestamp, Long, String, String, Long)]): Unit = {
+      val tmp = s"$src/.tmp-$name"
+      rs.toDF("user_id", "ts", "event_id", "op", "grp", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val (f2, f1) = rows.partition(r => r._3 == 2L || r._3 == 11L)
+    writeF("b1", f1)
+    writeF("b2", f2)
+    writeF("b3", Seq((99L, mkTs(t0 + 86400L * 1000000L), 900L, "U", "hb", 0L)))
+    writeF("b4", Seq((99L, mkTs(t0 + 172800L * 1000000L), 901L, "U", "hb", 0L)))
+    val work = tmpDir("mt-work")
+    val q = MaterializedView.startTable(spark, src,
+      rows.toDF("user_id", "ts", "event_id", "op", "grp", "v").schema,
+      work, tmpDir("mt-ck"), watermark = "60 seconds", nBuckets = 8)
+    q.awaitTermination()
+    val tbl = new MaterializedTable(spark, work, nBuckets = 8)
+    val got = tbl.read().where(col("k") =!= 99L)
+      .select(col("k"), col("grp"), col("v"), col("tie"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // LWW: u1's same-microsecond tie resolves to tie=3 (c, 30); u2 is
+    // deleted; u3 keeps its single upsert
+    assert(got == Set((1L, "c", 30L, 3L), (3L, "a", 7L, 20L)), s"row store: $got")
+  }
+
+  test("applyRowDeltas: within-batch LWW, cross-batch replace, replay skip") {
+    import graft.pipeline.MaterializedTable
+    val work = tmpDir("mt-unit")
+    val tbl = new MaterializedTable(spark, work, nBuckets = 4)
+    def d(rows: (Long, Long, Long, Boolean, String, Long)*) =
+      rows.toSeq.toDF("k", "ts_us", "tie", "del", "grp", "v")
+    def state(): Map[Long, (String, Long)] = tbl.read().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    // two sealed changes for k=1 in one batch: the newest (ts, tie) wins
+    tbl.applyRowDeltas(0L, d((1L, 100L, 1L, false, "a", 10L),
+      (1L, 100L, 2L, false, "b", 20L), (2L, 50L, 3L, false, "a", 5L)))
+    assert(state() == Map(1L -> ("b", 20L), 2L -> ("a", 5L)), s"b0: ${state()}")
+    // cross-batch: k=1 replaced, k=2 deleted, k=3 appears
+    tbl.applyRowDeltas(1L, d((1L, 200L, 4L, false, "c", 30L),
+      (2L, 210L, 5L, true, "", 0L), (3L, 220L, 6L, false, "a", 7L)))
+    assert(state() == Map(1L -> ("c", 30L), 3L -> ("a", 7L)), s"b1: ${state()}")
+    // replay of a committed batch is a whole-batch skip
+    tbl.applyRowDeltas(1L, d((1L, 999L, 9L, false, "zz", 99L)))
+    assert(state() == Map(1L -> ("c", 30L), 3L -> ("a", 7L)), "replay must be skipped")
+  }
+
   test("applyDeltas: replay skip, uncommitted gens invisible, group death, zero-net batch") {
     val work = tmpDir("mv-unit")
     val view = new MaterializedView(spark, work, nBuckets = 4)
