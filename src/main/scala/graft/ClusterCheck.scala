@@ -139,8 +139,62 @@ object ClusterCheck {
         false
     }
     if (!ingestOk) failed += 1
+    // Materialized dynamic-table stores under separate executor JVMs:
+    // changelog file stream → watermark-sealed per-key state → retraction
+    // deltas / sealed row deltas → bucket-wise exactly-once folds
+    // (foreachBatch driver FS commits + executor-side shuffles crossing
+    // real JVM boundaries), compared against the sealed-prefix batch
+    // equivalents computed in the same session.
+    import org.apache.spark.sql.functions.{floor, lit, max, pmod, row_number, unix_micros, when}
+    val viewOk = try {
+      val base = s"/tmp/graft-clustercheck-view-${System.nanoTime()}"
+      val ch = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"),
+          when(col("event_id") % 17 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          col("event_type").as("grp"), (col("event_id") % 997).as("v"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      Seq("f1" -> ch.where(col("user_id") % 2 === 0),
+          "f2" -> ch.where(col("user_id") % 2 === 1)).foreach { case (name, df) =>
+        val tmp = s"$base/.tmp-$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/stream"))
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$base/stream/$name.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      graft.pipeline.MaterializedView.start(spark, s"$base/stream", ch.schema,
+        s"$base/view", s"$base/ck1", nBuckets = 8).awaitTermination()
+      graft.pipeline.MaterializedView.startTable(spark, s"$base/stream", ch.schema,
+        s"$base/table", s"$base/ck2", nBuckets = 8).awaitTermination()
+      // the sealed prefix at the final watermark: Spark computes
+      // wm_ms = floor(max_event_us / 1000) - delay_ms, sealing ts_ms < wm
+      val maxMs = ch.agg(max(floor(unix_micros(col("ts")) / 1000))).first().getLong(0)
+      val sealedCh = ch.where(floor(unix_micros(col("ts")) / 1000) < maxMs - 60000L)
+      val wantView = canon(graft.pipeline.Retractions.currentAggregate(
+        sealedCh, "user_id", "ts", "event_id", "op", "grp", "v"))
+      val gotView = canon(
+        new graft.pipeline.MaterializedView(spark, s"$base/view", 8).read())
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wantTbl = canon(sealedCh.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1 && col("op") =!= "D")
+        .select(col("user_id").as("k"), col("grp"), col("v")))
+      val gotTbl = canon(new graft.pipeline.MaterializedTable(spark, s"$base/table", 8)
+        .read().select(col("k"), col("grp"), col("v")))
+      val ok = gotView == wantView && gotView.nonEmpty &&
+        gotTbl == wantTbl && gotTbl.nonEmpty
+      println(s"[clustercheck] view_fold ${if (ok) "OK" else "MISMATCH"} " +
+        s"groups=${gotView.size} keys=${gotTbl.size}")
+      ok
+    } catch {
+      case e: Throwable =>
+        println(s"[clustercheck] view_fold FAILED ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(160)}")
+        false
+    }
+    if (!viewOk) failed += 1
     spark.stop()
-    println(s"[clustercheck] ${Subset.size + 2 - failed}/${Subset.size + 2} equal to local-mode/oracle")
+    println(s"[clustercheck] ${Subset.size + 3 - failed}/${Subset.size + 3} equal to local-mode/oracle")
     if (failed > 0) sys.exit(3)
   }
 }

@@ -35,24 +35,73 @@ private[pipeline] final class BucketStore(spark: SparkSession,
   def genDir(bucket: Long, gen: Long): Path =
     new Path(workDir, s"data/bucket=$bucket/gen=$gen")
 
-  def isCommitted(batchId: Long): Boolean =
-    fs.exists(new Path(commitsDir, batchId.toString))
-
-  /** (bucket → gen) as of the latest committed batch: markers fold in
-    * batch order, later entries superseding earlier ones.
+  /** Epoch files (`_commits/epoch-N`): a compacted prefix of the marker
+    * chain — N is the highest batch id the epoch covers, the body is the
+    * full bucket→gen map as of N. The HIGHEST epoch wins; per-batch
+    * markers ≤ its N are redundant (skipped by the fold, deleted by the
+    * compaction that published it — crash in between leaves them lingering
+    * harmlessly).
     */
-  def bucketGens(): Map[Long, Long] = {
-    if (!fs.exists(commitsDir)) return Map.empty
-    val ids = fs.listStatus(commitsDir).toSeq
+  private def epochs(): Seq[(Long, Path)] = {
+    if (!fs.exists(commitsDir)) return Seq.empty
+    fs.listStatus(commitsDir).toSeq.map(_.getPath)
+      .flatMap(p => p.getName match {
+        case n if n.startsWith("epoch-") =>
+          scala.util.Try(n.stripPrefix("epoch-").toLong).toOption.map(_ -> p)
+        case _ => None
+      }).sortBy(_._1)
+  }
+
+  private def markerIds(): Seq[Long] = {
+    if (!fs.exists(commitsDir)) return Seq.empty
+    fs.listStatus(commitsDir).toSeq
       .map(_.getPath.getName).flatMap(n => scala.util.Try(n.toLong).toOption)
       .sorted
-    ids.foldLeft(Map.empty[Long, Long]) { (m, id) =>
-      val text = graft.util.FsText.readText(fs, new Path(commitsDir, id.toString))
-      m ++ text.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(b, g) = line.trim.split(" ")
-        b.toLong -> g.toLong
-      }
+  }
+
+  def isCommitted(batchId: Long): Boolean =
+    epochs().lastOption.exists(_._1 >= batchId) ||
+      fs.exists(new Path(commitsDir, batchId.toString))
+
+  private def parseMap(text: String): Map[Long, Long] =
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(b, g) = line.trim.split(" ")
+      b.toLong -> g.toLong
+    }.toMap
+
+  /** (bucket → gen) as of the latest committed batch: the highest epoch's
+    * map, then markers above it fold in batch order, later entries
+    * superseding earlier ones.
+    */
+  def bucketGens(): Map[Long, Long] = {
+    val ep = epochs().lastOption
+    val base = ep.fold(Map.empty[Long, Long]) { case (_, p) =>
+      parseMap(graft.util.FsText.readText(fs, p)) }
+    val floor = ep.fold(Long.MinValue) { case (n, _) => n }
+    markerIds().filter(_ > floor).foldLeft(base) { (m, id) =>
+      m ++ parseMap(graft.util.FsText.readText(fs, new Path(commitsDir, id.toString)))
     }
+  }
+
+  /** Fold the marker chain into one epoch file — the store's only
+    * per-batch growth (data gens die as they are superseded). Crash-safe
+    * by the single-rename rule: the new epoch publishes atomically FIRST;
+    * only then do the markers it covers (and older epochs) die — a crash
+    * in between leaves redundant files the fold already ignores. Returns
+    * the epoch's upper batch id (-1 when nothing has committed).
+    */
+  def compactCommits(): Long = {
+    val ids = markerIds()
+    val prev = epochs()
+    val upTo = (prev.map(_._1) ++ ids).foldLeft(-1L)(math.max)
+    if (upTo < 0) return -1L
+    val map = bucketGens()
+    graft.util.FsText.writeAtomic(fs, new Path(commitsDir, s"epoch-$upTo"),
+      map.toSeq.sortBy(_._1).map { case (b, g) => s"$b $g" }.mkString("\n"))
+    ids.filter(_ <= upTo)
+      .foreach(id => fs.delete(new Path(commitsDir, id.toString), false))
+    prev.filter(_._1 < upTo).foreach { case (_, p) => fs.delete(p, false) }
+    upTo
   }
 
   private def emptyDf: DataFrame =
@@ -132,6 +181,9 @@ final class MaterializedView(spark: SparkSession, workDir: String,
 
   def isCommitted(batchId: Long): Boolean = store.isCommitted(batchId)
 
+  /** Fold the marker chain into one epoch file (`BucketStore.compactCommits`). */
+  def compactCommits(): Long = store.compactCommits()
+
   /** The view as of the latest committed batch (empty, schema-stable,
     * when nothing has committed).
     */
@@ -191,6 +243,9 @@ final class MaterializedTable(spark: SparkSession, workDir: String,
   private val store = new BucketStore(spark, workDir, nBuckets, tableSchema)
 
   def isCommitted(batchId: Long): Boolean = store.isCommitted(batchId)
+
+  /** Fold the marker chain into one epoch file (`BucketStore.compactCommits`). */
+  def compactCommits(): Long = store.compactCommits()
 
   /** The current table as of the latest committed batch. */
   def read(): DataFrame = store.read()

@@ -180,5 +180,22 @@ class MaterializedViewSpec extends SparkSpec {
       .map(_.getPath.getName).sorted.toSeq
     assert(state() == Map("a" -> (3L, 115L), "zz" -> (1L, 9L)))
     assert(gensBefore == gensAfter, "zero-net batch must not rewrite buckets")
+
+    // marker-chain compaction: one epoch file replaces the per-batch
+    // markers; content, committed-ness, and subsequent folds unchanged
+    val upTo = view.compactCommits()
+    assert(upTo == 5L, s"epoch upper bound: $upTo")
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/_commits"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(names == Seq("epoch-5"), s"markers must fold into the epoch: $names")
+    assert(state() == Map("a" -> (3L, 115L), "zz" -> (1L, 9L)),
+      "compaction must not change the view")
+    assert((0L to 5L).forall(view.isCommitted), "epoch must cover old batch ids")
+    assert(!view.isCommitted(6L), "future ids stay uncommitted")
+    // folds continue on top of the epoch; a second compaction folds again
+    view.applyDeltas(6L, d(("a", 1L, 1L)))
+    assert(state() == Map("a" -> (4L, 116L), "zz" -> (1L, 9L)), s"post-epoch fold: ${state()}")
+    assert(view.compactCommits() == 6L)
+    assert(state() == Map("a" -> (4L, 116L), "zz" -> (1L, 9L)))
   }
 }
