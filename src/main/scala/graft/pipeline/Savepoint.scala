@@ -82,6 +82,48 @@ object Savepoint {
     }
   }
 
+  /** Relocatable savepoint of a materialized-STORE run (`Main view` /
+    * `Main table` layout: a stream checkpoint + a bucket store, changes
+    * dir external). Same contract as `create`: copy checkpoint + store +
+    * changes dir into `destDir`, rebase every seen-file entry onto the
+    * copied changes dir (fail-loud per entry), publish the marker last —
+    * the result resumes from `destDir` alone after the original run's
+    * dirs are deleted. Resume with:
+    * `MaterializedView.start(spark, s"$dest/stream", schema,
+    *   s"$dest/store", s"$dest/checkpoint", ...)`.
+    */
+  def createStore(spark: SparkSession, ckDir: String, storeDir: String,
+      changesDir: String, destDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(ckDir).getFileSystem(conf)
+    require(!fs.exists(new Path(destDir)),
+      s"savepoint dest $destDir already exists — a nested copy would silently keep the stale state")
+    val dstStream = s"$destDir/stream"
+    try {
+      for ((src, dst) <- Seq(ckDir -> s"$destDir/checkpoint",
+          storeDir -> s"$destDir/store", changesDir -> dstStream)) {
+        require(fs.exists(new Path(src)), s"savepoint source $src missing — run the store first")
+        org.apache.hadoop.fs.FileUtil.copy(fs, new Path(src), fs, new Path(dst), false, conf)
+      }
+      rebaseSourceLog(fs, s"$destDir/checkpoint", changesDir, dstStream)
+      val mk = fs.create(new Path(s"$destDir/savepoint.json"), true)
+      mk.write(s"""{"streamDir":"$dstStream"}""".getBytes("UTF-8")); mk.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // same rule as `create`: a partial savepoint without its marker
+        // would resume against an unrebased checkpoint and re-ingest
+        try {
+          if (!fs.delete(new Path(destDir), true) && fs.exists(new Path(destDir)))
+            org.apache.log4j.Logger.getLogger(getClass).error(
+              s"savepoint cleanup could NOT remove partial artifact $destDir — " +
+                "delete it manually before any resume (re-ingest hazard)")
+        } catch {
+          case scala.util.control.NonFatal(e2) => e.addSuppressed(e2)
+        }
+        throw e
+    }
+  }
+
   /** Rewrite the absolute stream-dir prefix inside every seen-file log
     * entry (`checkpoint/sources/<i>/<batch>` and `.compact` rollups). The
     * entries are one JSON object per line with a `file://`-URI `path`; a

@@ -74,6 +74,66 @@ class MaterializedViewSpec extends SparkSpec {
       s"rerun must not fold new batches: $commitsBefore -> $commitsAfter")
   }
 
+  test("view run survives a relocatable savepoint: resume from the copy alone, zero dupes/loss") {
+    import graft.pipeline.Savepoint
+    val t0 = 1900000000000000L
+    val rows = Seq(
+      (1L, mkTs(t0), 1L, "U", "a", 10L),
+      (1L, mkTs(t0 + 1500), 2L, "U", "b", 20L),
+      (1L, mkTs(t0 + 1500), 3L, "U", "c", 30L),
+      (2L, mkTs(t0 + 5000000L), 10L, "U", "a", 5L),
+      (2L, mkTs(t0 + 9000000L), 11L, "D", "", 0L),
+      (3L, mkTs(t0 + 2000000L), 20L, "U", "a", 7L))
+    val batchDf = rows.toDF("user_id", "ts", "event_id", "op", "grp", "v")
+    val want = Retractions.currentAggregate(batchDf, "user_id", "ts",
+      "event_id", "op", "grp", "v")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val src = tmpDir("sv-src")
+    def writeF(name: String, rs: Seq[(Long, Timestamp, Long, String, String, Long)]): Unit = {
+      val tmp = s"$src/.tmp-$name"
+      rs.toDF("user_id", "ts", "event_id", "op", "grp", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    // phase 1: ALL real changes delivered, but the watermark never
+    // advances enough to seal them — the per-key state (the unripe
+    // buffers) is the ONLY place they live when the savepoint is taken
+    val (f2, f1) = rows.partition(r => r._3 == 2L || r._3 == 11L)
+    writeF("b1", f1)
+    writeF("b2", f2)
+    val work = tmpDir("sv-work") + "/store"
+    val ck = tmpDir("sv-ck") + "/checkpoint"
+    MaterializedView.start(spark, src, batchDf.schema, work, ck,
+      watermark = "60 seconds", nBuckets = 8).awaitTermination()
+
+    // savepoint mid-stream, then DELETE every original dir — the copy
+    // must be self-contained (the r3 relocatability rule)
+    val dest = tmpDir("sv-dest") + "/sp"
+    Savepoint.createStore(spark, ck, work, src, dest)
+    Seq(src, work, ck).foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+
+    // phase 2 runs from the COPY: sentinels advance the watermark so the
+    // buffered changes seal and fold — into the copied store
+    def writeDest(name: String, rs: Seq[(Long, Timestamp, Long, String, String, Long)]): Unit = {
+      val tmp = s"$dest/.tmp-$name"
+      rs.toDF("user_id", "ts", "event_id", "op", "grp", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dest/stream/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    writeDest("b3", Seq((99L, mkTs(t0 + 86400L * 1000000L), 900L, "U", "hb", 0L)))
+    writeDest("b4", Seq((99L, mkTs(t0 + 172800L * 1000000L), 901L, "U", "hb", 0L)))
+    MaterializedView.start(spark, s"$dest/stream", batchDf.schema,
+      s"$dest/store", s"$dest/checkpoint", watermark = "60 seconds",
+      nBuckets = 8).awaitTermination()
+    val view = new MaterializedView(spark, s"$dest/store", nBuckets = 8)
+    assertSameRows(view.read().where(col("grp") =!= "hb"), want,
+      "resumed-from-savepoint view == batch current aggregate (no dupes, no loss)")
+  }
+
   test("streamed row store == LWW current view; deletes drop rows") {
     import graft.pipeline.MaterializedTable
     val t0 = 1800000000000000L
