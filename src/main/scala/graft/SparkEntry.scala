@@ -86,7 +86,9 @@ object SparkEntry {
     "q63_event_bigrams" -> (Queries.q63EventBigrams _),
     "q64_retract_agg" -> (Queries.q64RetractAgg _),
     "q65_filtered_ann" -> (Queries.q65FilteredAnn _),
-    "q66_hard_negatives" -> (Queries.q66HardNegatives _)
+    "q66_hard_negatives" -> (Queries.q66HardNegatives _),
+    "q67_chunk_docs" -> (Queries.q67ChunkDocs _),
+    "q68_pack_sequences" -> (Queries.q68PackSequences _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -1004,6 +1006,35 @@ object SparkEntry {
         |        AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
         |      FROM s)
-        |SELECT qid, vec_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5""".stripMargin
+        |SELECT qid, vec_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5""".stripMargin,
+    // q67 mirror: starts every 24 tokens (1-based in DuckDB), final chunk
+    // short; the md5 verifies each chunk's exact text.
+    "q67_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS st
+        |      FROM t WHERE len(w) > 0)
+        |SELECT doc_id, CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(st - 1 AS BIGINT) AS start_tok,
+        |  CAST(least(32, len(w) - st + 1) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(w[st:st+31], ' ')) AS chunk_md5
+        |FROM s""".stripMargin,
+    // q68 mirror: THE global-sort definition — running token offsets in
+    // doc_id order, docs exploded over the 512-token sequences they span,
+    // per-sequence doc count / exact token overlap / first+last doc.
+    "q68_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |o AS (SELECT doc_id, n,
+        |        CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+        |             AS BIGINT) AS off
+        |      FROM t),
+        |s AS (SELECT doc_id, n, off,
+        |        unnest(generate_series(off // 512, (off + n - 1) // 512)) AS seq_id
+        |      FROM o)
+        |SELECT seq_id, count(*) AS n_docs,
+        |  CAST(sum(least((seq_id + 1) * 512, off + n)
+        |           - greatest(seq_id * 512, off)) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM s GROUP BY 1""".stripMargin
   )
 }

@@ -166,6 +166,111 @@ object Corpus {
       .drop("_h", "_bin", "_tk")
   }
 
+  /** Fixed-size token CHUNKING with overlap — the RAG/embedding prep op:
+    * each document becomes chunks of `chunkTokens` tokens starting every
+    * `chunkTokens − overlap` tokens (the final chunk holds the remaining
+    * ≤ chunkTokens; a tail shorter than `overlap` is still emitted — the
+    * contract is positional, not containment-pruned). Emits exact token
+    * offsets and the chunk-text md5 so the oracle verifies the REWRITE,
+    * not just counts (q40/q54 convention).
+    *
+    * Scale: fully narrow — one projection, a bounded per-doc explode
+    * (n/step chunks), no shuffle, no join; the chunk text never leaves
+    * the row it was cut from.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val step = chunkTokens - overlap
+    docs.withColumn("_w", split(col(textCol), " "))
+      .withColumn("_n", size(col("_w")))
+      .where(col("_n") > 0)
+      .withColumn("_start", explode(sequence(lit(0), col("_n") - 1, lit(step))))
+      .select(col(idCol),
+        expr(s"_start DIV $step").cast("long").as("chunk_idx"),
+        col("_start").cast("long").as("start_tok"),
+        least(lit(chunkTokens), col("_n") - col("_start")).cast("long").as("n_tok"),
+        md5(array_join(slice(col("_w"), col("_start") + 1, lit(chunkTokens)), " ")
+          .cast("binary")).as("chunk_md5"))
+  }
+
+  /** SEQUENCE PACKING — the pretraining prep op: concatenate the corpus
+    * token stream in `idCol` order and cut it into fixed `seqLen`-token
+    * training sequences, documents spanning boundaries (the GPT-style
+    * pack; no padding, the final sequence alone is short). Emits one row
+    * per sequence: how many docs it draws from, its exact token count,
+    * and its first/last doc — the manifest a sequence-loader needs.
+    *
+    * A 100 TB corpus cannot global-sort for the running offset, so the
+    * cumsum is q49's two-pass shape on the ID AXIS (ids are monotone in
+    * pack order, so id-range bins are contiguous prefix segments):
+    *   1. bins = id >> s (s sized so bins ≤ 2^binBits); ONE aggregate
+    *      gives per-bin token sums; a driver prefix over ≤ 2^binBits rows
+    *      yields each bin's global start offset, joined back broadcast;
+    *   2. within-bin running sums are a window PARTITIONED BY bin — no
+    *      global ordering anywhere; each doc's global offset is
+    *      bin_offset + within_bin_cum − n.
+    * The (first_seq..last_seq) span explode is bounded by n/seqLen + 1
+    * per doc; the per-sequence aggregate shuffles a few longs.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, binBits: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(binBits >= 1 && binBits <= 30, s"binBits must be in [1,30], got $binBits")
+    val spark = docs.sparkSession
+    val maxId = docs.agg(max(col(idCol))).first() match {
+      case r if r.isNullAt(0) => return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("seq_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_tokens",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("first_doc",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("last_doc",
+            org.apache.spark.sql.types.LongType))))
+      case r => r.getLong(0)
+    }
+    require(maxId >= 0, s"packSequences expects non-negative ids, max was $maxId")
+    // shift so the bin count stays ≤ 2^binBits over the observed id range
+    var shift = 0
+    while ((maxId >> shift) >= (1L << binBits)) shift += 1
+    val withB = docs
+      .withColumn("_tk", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .where(col("_tk") > 0)
+      .withColumn("_bin", shiftright(col(idCol), shift))
+    val binSums = withB.groupBy(col("_bin"))
+      .agg(sum(col("_tk")).as("tk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = binSums.map { case (bin, tk) =>
+      val o = acc; acc += tk; (bin, o)
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("_bin", "_binOff"))
+    val w = Window.partitionBy(col("_bin")).orderBy(col(idCol))
+    val L = seqLen.toLong
+    val spanned = withB
+      .withColumn("_cum", sum(col("_tk")).over(w))
+      .join(offDf, "_bin")
+      .withColumn("_off", col("_binOff") + col("_cum") - col("_tk"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_off DIV $L"),
+        expr(s"(_off + _tk - 1) DIV $L"))))
+      // this doc's token overlap with this sequence's [seq·L, (seq+1)·L)
+      .withColumn("_ov",
+        least(((col("seq_id") + 1) * L), col("_off") + col("_tk")) -
+          greatest(col("seq_id") * L, col("_off")))
+    spanned.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_ov")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+  }
+
   /** Nearest-centroid classification over hashed n-gram embeddings: each
     * document is assigned to the stratum whose embedding CENTROID it
     * projects onto most strongly — the cheap semantic-routing /

@@ -777,6 +777,25 @@ object Queries {
     graft.ops.Similarity.hardNegatives(embs, probes, k = 5)
   }
 
+  /** q67: fixed-size token chunking with overlap (32-token chunks every
+    * 24) — the RAG/embedding prep cut, offsets exact and each chunk's
+    * text md5-verified by the oracle (the rewrite convention). Fully
+    * narrow: no shuffle anywhere.
+    */
+  def q67ChunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Corpus.chunkDocs(table(spark, sfDir, "documents"),
+      chunkTokens = 32, overlap = 8)
+
+  /** q68: sequence packing — the corpus token stream in doc_id order cut
+    * into 512-token training sequences, docs spanning boundaries (the
+    * GPT-style pack). The global offsets come from q49's two-pass binned
+    * cumsum on the id axis — no global sort; the oracle IS the
+    * global-sort definition.
+    */
+  def q68PackSequences(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Corpus.packSequences(table(spark, sfDir, "documents"),
+      seqLen = 512)
+
   /** q58: SCD2 history materialization of the `events` changelog — each
     * user's event stream becomes versioned rows with validity intervals
     * (the warehouse history table a CDC pipeline feeds; `Scd2.scd2Stream`

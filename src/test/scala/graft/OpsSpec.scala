@@ -647,6 +647,71 @@ class OpsSpec extends SparkSpec {
   private def hash60(s: String): Long =
     java.lang.Long.parseLong(graft.functions.HashingKernels.md5hex(s).substring(0, 15), 16)
 
+  test("chunkDocs == positional model: overlap, short tail, md5 of exact text") {
+    import graft.ops.Corpus
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y z"),               // shorter than one chunk
+      (3L, "k")                    // single token
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkDocs(docs, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    // independent model: starts 0,3,6,... while < n; chunk = tokens.slice
+    def md5hex(s: String): String = graft.functions.HashingKernels.md5hex(s)
+    val want = Seq(1L -> "a b c d e f g h i j", 2L -> "x y z", 3L -> "k")
+      .flatMap { case (id, text) =>
+        val w = text.split(" ")
+        Iterator.from(0).map(_ * 3).takeWhile(_ < w.length).map { st =>
+          (id, (st / 3).toLong, st.toLong,
+            math.min(4, w.length - st).toLong,
+            md5hex(w.slice(st, st + 4).mkString(" ")))
+        }
+      }.toSet
+    assert(got == want, s"chunks:\n got=$got\n want=$want")
+    // doc 1: starts 0,3,6,9 — the tail chunk has 1 token (< overlap, still emitted)
+    assert(got.count(_._1 == 1L) == 4)
+  }
+
+  test("packSequences == global-sort definition; bin-shape and partitioning invariant") {
+    import graft.ops.Corpus
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def viaWindow(seqLen: Int): org.apache.spark.sql.DataFrame = {
+      val L = seqLen.toLong
+      val t = docs.select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .where(col("n") > 0)
+      val w = Window.orderBy(col("doc_id"))
+      t.withColumn("off", sum(col("n")).over(w) - col("n"))
+        .withColumn("seq_id", explode(sequence(
+          expr(s"off DIV $L"), expr(s"(off + n - 1) DIV $L"))))
+        .withColumn("ov",
+          least((col("seq_id") + 1) * L, col("off") + col("n")) -
+            greatest(col("seq_id") * L, col("off")))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ov")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    }
+    for (seqLen <- Seq(128, 512)) {
+      val want = viaWindow(seqLen)
+      assertSameRows(Corpus.packSequences(docs, seqLen), want,
+        s"packSequences L=$seqLen")
+      // few huge bins vs many small bins vs adversarial partitioning —
+      // the offsets must not depend on either
+      assertSameRows(Corpus.packSequences(docs, seqLen, binBits = 1), want,
+        s"packSequences L=$seqLen binBits=1")
+      assertSameRows(Corpus.packSequences(docs.repartition(13), seqLen), want,
+        s"packSequences L=$seqLen repartitioned")
+    }
+    // every sequence except the last is exactly full
+    val full = Corpus.packSequences(docs, 512).orderBy(col("seq_id")).collect()
+    assert(full.dropRight(1).forall(_.getLong(2) == 512L),
+      "every non-final sequence must hold exactly seqLen tokens")
+    assert(full.last.getLong(2) <= 512L)
+  }
+
   test("packShards == per-writer cumulative model; layout is content-addressed") {
     import graft.ops.Corpus
     val budget = 1024L
