@@ -302,6 +302,23 @@ class PlanSpec extends SparkSpec {
     assert(!bad, "corpus vectors must not shuffle (only per-qid scores do):\n" + p.take(800))
   }
 
+  test("q67: chunking is a narrow projection + bounded explode — no exchange at all") {
+    val p = plan(Queries.q67ChunkDocs(spark, sf))
+    assert(!p.contains("Exchange"),
+      "chunking must not shuffle (narrow cut + explode):\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("q68: sequence packing — bin offsets broadcast back, text never in an exchange") {
+    val p = plan(Queries.q68PackSequences(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "bin offsets must join back as a broadcast:\n" + p.take(800))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!bad, "no shuffle of document text (offsets/longs only):\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("q51: centroid classify — centroids broadcast back, no text in any exchange") {
     val p = plan(Queries.q51CentroidClassify(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
