@@ -88,7 +88,8 @@ object SparkEntry {
     "q65_filtered_ann" -> (Queries.q65FilteredAnn _),
     "q66_hard_negatives" -> (Queries.q66HardNegatives _),
     "q67_chunk_docs" -> (Queries.q67ChunkDocs _),
-    "q68_pack_sequences" -> (Queries.q68PackSequences _)
+    "q68_pack_sequences" -> (Queries.q68PackSequences _),
+    "q69_length_balance" -> (Queries.q69LengthBalance _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -1035,6 +1036,29 @@ object SparkEntry {
         |  CAST(sum(least((seq_id + 1) * 512, off + n)
         |           - greatest(seq_id * 512, off)) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM s GROUP BY 1""".stripMargin
+        |FROM s GROUP BY 1""".stripMargin,
+    // q69 mirror: discrete quartile boundaries by exact-integer cumulative
+    // counts (cum·4 ≥ q·total), bucket = boundaries exceeded, per-bucket
+    // 2^60-scaled floor thresholds on the salted hash (q45 convention).
+    "q69_length_balance" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |tot AS (SELECT count(*) AS total FROM t),
+        |cum AS (SELECT n, sum(count(*)) OVER (ORDER BY n) AS c FROM t GROUP BY n),
+        |b1 AS (SELECT min(n) AS v FROM cum, tot WHERE c * 4 >= 1 * total),
+        |b2 AS (SELECT min(n) AS v FROM cum, tot WHERE c * 4 >= 2 * total),
+        |b3 AS (SELECT min(n) AS v FROM cum, tot WHERE c * 4 >= 3 * total),
+        |bk AS (SELECT doc_id,
+        |         (n > b1.v)::BIGINT + (n > b2.v)::BIGINT + (n > b3.v)::BIGINT AS bucket
+        |       FROM t, b1, b2, b3),
+        |c AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY 1),
+        |m AS (SELECT min(cnt) AS mn FROM c),
+        |thr AS (SELECT bucket,
+        |          (m.mn::HUGEINT * 1152921504606846976::HUGEINT) // cnt::HUGEINT AS thr
+        |        FROM c, m)
+        |SELECT bk.doc_id, bk.bucket FROM bk JOIN thr USING (bucket)
+        |WHERE ('0x' || substr(md5('L0:' || bk.doc_id), 1, 15))::UBIGINT::HUGEINT
+        |      < thr.thr""".stripMargin
   )
 }

@@ -166,6 +166,63 @@ object Corpus {
       .drop("_h", "_bin", "_tk")
   }
 
+  /** LENGTH-DISTRIBUTION FLATTENING: resample the corpus so each token-
+    * length quartile contributes equally — the de-biasing step that stops
+    * short-doc floods (or a long-doc tail) from dominating a training
+    * mix. Everything is exact integers:
+    *   - quartile boundaries are DISCRETE: b_q = the smallest length v
+    *     with cum_count(≤v)·4 ≥ q·total (no interpolation, no floats);
+    *   - bucket(doc) = how many boundaries its length exceeds (ties at a
+    *     boundary collapse buckets — degenerate distributions just keep
+    *     more data);
+    *   - each bucket hash-samples at rate min_bucket/count_b via the
+    *     q45 2^60-scaled BigInteger threshold on the salted content
+    *     hash — deterministic, partitioning-independent, and
+    *     reproducible bit-for-bit in any engine.
+    *
+    * Scale: one value-count aggregate over the token-length DOMAIN
+    * (bounded by the max doc length, not rows) + a 4-row bucket count,
+    * both driver-side prefix scans; then one narrow content-hash filter.
+    * No joins, no text shuffle, one corpus scan (two until the length
+    * projection is cached).
+    */
+  def lengthBalance(docs: DataFrame, salt: String = "L0",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = docs.withColumn("_n",
+      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    val vc = t.groupBy(col("_n")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(vc.nonEmpty, "lengthBalance: empty corpus")
+    val total = vc.map(_._2).sum
+    def boundary(num: Long): Long = {
+      var cum = 0L
+      var res = vc.last._1
+      var found = false
+      vc.foreach { case (v, c) =>
+        cum += c
+        if (!found && cum * 4L >= num * total) { res = v; found = true }
+      }
+      res
+    }
+    val bs = Seq(boundary(1L), boundary(2L), boundary(3L))
+    val bucketCol = bs.map(v => when(col("_n") > v, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val withB = t.withColumn("bucket", bucketCol)
+    val cnts = withB.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val m = cnts.values.min
+    val thr = cnts.map { case (bk, c) =>
+      bk -> java.math.BigInteger.valueOf(m).shiftLeft(60)
+        .divide(java.math.BigInteger.valueOf(c)).longValueExact()
+    }
+    val thrCol = thr.toSeq.sortBy(_._1).foldRight(lit(-1L): Column) {
+      case ((bk, th), acc) => when(col("bucket") === bk, lit(th)).otherwise(acc)
+    }
+    withB.where(TextAnalysis.tokenHash60(
+        concat(lit(salt), lit(":"), col(idCol).cast("string"))) < thrCol)
+      .select(col(idCol), col("bucket"))
+  }
+
   /** Fixed-size token CHUNKING with overlap — the RAG/embedding prep op:
     * each document becomes chunks of `chunkTokens` tokens starting every
     * `chunkTokens − overlap` tokens (the final chunk holds the remaining

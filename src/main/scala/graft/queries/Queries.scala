@@ -796,6 +796,14 @@ object Queries {
     graft.ops.Corpus.packSequences(table(spark, sfDir, "documents"),
       seqLen = 512)
 
+  /** q69: length-distribution flattening — each token-length quartile
+    * resampled to the smallest quartile's size via exact-integer discrete
+    * boundaries + the q45 2^60 hash threshold. The de-biasing step of
+    * mixture building; emits the kept (doc_id, bucket).
+    */
+  def q69LengthBalance(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Corpus.lengthBalance(table(spark, sfDir, "documents"))
+
   /** q58: SCD2 history materialization of the `events` changelog — each
     * user's event stream becomes versioned rows with validity intervals
     * (the warehouse history table a CDC pipeline feeds; `Scd2.scd2Stream`

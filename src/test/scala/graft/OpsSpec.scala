@@ -712,6 +712,54 @@ class OpsSpec extends SparkSpec {
     assert(full.last.getLong(2) <= 512L)
   }
 
+  test("lengthBalance == exact-integer quartile model; degenerate + repartition invariant") {
+    import graft.ops.Corpus
+    import spark.implicits._
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent model: boundaries, buckets, thresholds, hash filter —
+    // MessageDigest + BigInteger, no Spark expressions
+    val lens = rows.map { case (id, t) => id -> t.split(" ", -1).length.toLong }
+    val total = lens.length.toLong
+    val sortedLens = lens.map(_._2).sorted
+    def boundary(num: Long): Long = {
+      var cum = 0L
+      sortedLens.find { v => cum += 1; cum * 4L >= num * total }.getOrElse(sortedLens.last)
+    }
+    val bs = Seq(boundary(1L), boundary(2L), boundary(3L))
+    val bucketOf = lens.toMap.map { case (id, n) => id -> bs.count(n > _).toLong }
+    val cnts = bucketOf.values.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val m = cnts.values.min
+    val thr = cnts.map { case (b, c) =>
+      b -> java.math.BigInteger.valueOf(m).shiftLeft(60)
+        .divide(java.math.BigInteger.valueOf(c)).longValueExact()
+    }
+    val want = bucketOf.filter { case (id, b) =>
+      java.lang.Long.parseLong(
+        graft.functions.HashingKernels.md5hex(s"L0:$id").substring(0, 15), 16) < thr(b)
+    }.toSet
+    def got(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Corpus.lengthBalance(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got(docs) == want.map(identity), s"sizes: got=${got(docs).size} want=${want.size}")
+    assert(got(docs.repartition(13)) == want.map(identity), "partitioning must not matter")
+    // flattening invariants that ARE exact: the smallest source bucket is
+    // kept whole (its threshold is 2^60), and no bucket keeps more than
+    // its source count; rate-based sampling may deviate from m by a few
+    // rows on the others — that is the q45 semantics, not a bug
+    val keptPerBucket = got(docs).groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val minBuckets = cnts.filter(_._2 == m).keySet
+    assert(minBuckets.forall(b => keptPerBucket.getOrElse(b, 0L) == m),
+      s"binding bucket(s) $minBuckets must be kept whole: kept=$keptPerBucket m=$m")
+    assert(keptPerBucket.forall { case (b, k) => k <= cnts(b) }, s"kept=$keptPerBucket src=$cnts")
+    // degenerate: uniform lengths collapse to ONE bucket that keeps all
+    val uni = (0L until 40L).map(i => (i, "w x y z")).toDF("doc_id", "text")
+    val gotUni = Corpus.lengthBalance(uni).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotUni.length == 40 && gotUni.forall(_._2 == 0L),
+      s"uniform corpus must keep everything in bucket 0: ${gotUni.take(5).toSeq}")
+  }
+
   test("packShards == per-writer cumulative model; layout is content-addressed") {
     import graft.ops.Corpus
     val budget = 1024L
