@@ -38,7 +38,10 @@ object ClusterCheck {
     "q58_scd2", "q59_semantic_dedup", "q61_winnow", "q62_gram_novelty",
     // per-key ordered windows over events: the transition bigrams and the
     // changelog current-table aggregate (retraction algebra's batch form)
-    "q63_event_bigrams", "q64_retract_agg")
+    "q63_event_bigrams", "q64_retract_agg",
+    // the id-axis binned cumsum (driver bin offsets broadcast back into
+    // executor JVMs) under real serialization boundaries
+    "q68_pack_sequences")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     val cols = df.columns.sorted

@@ -319,6 +319,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("q69: length rebalancing is a narrow threshold filter — no join, no text exchange") {
+    val p = plan(Queries.q69LengthBalance(spark, sf))
+    assert(!p.contains("Join"), "thresholds ride the plan as literals:\n" + p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the kept-set filter must not shuffle:\n" + p.take(800))
+  }
+
   test("q51: centroid classify — centroids broadcast back, no text in any exchange") {
     val p = plan(Queries.q51CentroidClassify(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
