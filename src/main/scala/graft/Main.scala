@@ -216,6 +216,30 @@ object Main {
         val t = mt.read()
         t.orderBy(col("k")).show(20, truncate = false)
         println(s"[table] keys=${t.count()}")
+      case "ivf" :: action :: indexDir :: rest =>
+        // IVF-index maintenance lifecycle (the ANN twin of `index`):
+        //   ivf build  <indexDir> <embsDir> [nlist]  (train + write at rest)
+        //   ivf append <indexDir> <batchDir>         (assign to existing centroids)
+        //   ivf stat   <indexDir>                    (rows per bucket, radii)
+        action match {
+          case "build" =>
+            val embs = spark.read.parquet(rest.head)
+            val nlist = rest.lift(1).map(_.toInt).getOrElse(64)
+            ops.Similarity.writeIvfIndex(embs, indexDir, nlist = nlist)
+            println(s"[ivf] built nlist=$nlist vecs=${embs.count()}")
+          case "append" =>
+            val batch = spark.read.parquet(rest.head)
+            ops.Similarity.appendIvfIndex(batch, indexDir)
+            println(s"[ivf] appended vecs=${batch.count()}")
+          case "stat" =>
+            val (index, model) = ops.Similarity.readIvfIndex(spark, indexDir)
+            val perBucket = index.groupBy(col("cid")).count().orderBy(col("cid"))
+            perBucket.show(model.nlist, truncate = false)
+            println(s"[ivf] nlist=${model.nlist} vecs=${index.count()} " +
+              s"maxRadius=${model.radii.max}")
+          case a =>
+            System.err.println(s"unknown ivf action: $a"); sys.exit(2)
+        }
       case "index" :: action :: indexDir :: rest =>
         // gram-index maintenance lifecycle from the ops runbook:
         //   index build  <indexDir> <corpusDir> [n]   (rebuild, epoch 0)
@@ -251,7 +275,8 @@ object Main {
           "ingest <docsDir> <workDir> [minQuality] [knownDir] | " +
           "view <changesDir> <workDir> [watermark] [nBuckets] | " +
           "table <changesDir> <workDir> [watermark] [nBuckets] | " +
-          "index build|append|compact|stat <indexDir> [args]")
+          "index build|append|compact|stat <indexDir> [args] | " +
+          "ivf build|append|stat <indexDir> [args]")
         sys.exit(2)
     }
   }

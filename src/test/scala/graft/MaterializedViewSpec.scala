@@ -173,6 +173,31 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got == Set((1L, "c", 30L, 3L), (3L, "a", 7L, 20L)), s"row store: $got")
   }
 
+  test("coherence: aggregating the row store == the aggregate view, same changelog") {
+    import graft.pipeline.MaterializedTable
+    // same changelog driven through BOTH stores (unit-level: the deltas
+    // the two streaming emitters would produce for these sealed changes)
+    val work1 = tmpDir("coh-view")
+    val work2 = tmpDir("coh-table")
+    val view = new graft.pipeline.MaterializedView(spark, work1, nBuckets = 4)
+    val tbl = new MaterializedTable(spark, work2, nBuckets = 4)
+    // k1: a(10) -> b(20); k2: a(5) -> delete; k3: a(7)
+    view.applyDeltas(0L, Seq(("a", 1L, 10L), ("a", 1L, 5L), ("a", 1L, 7L))
+      .toDF("grp", "d_keys", "d_sum"))
+    view.applyDeltas(1L, Seq(("a", -1L, -10L), ("b", 1L, 20L), ("a", -1L, -5L))
+      .toDF("grp", "d_keys", "d_sum"))
+    tbl.applyRowDeltas(0L, Seq((1L, 100L, 1L, false, "a", 10L),
+      (2L, 101L, 2L, false, "a", 5L), (3L, 102L, 3L, false, "a", 7L))
+      .toDF("k", "ts_us", "tie", "del", "grp", "v"))
+    tbl.applyRowDeltas(1L, Seq((1L, 200L, 4L, false, "b", 20L),
+      (2L, 201L, 5L, true, "", 0L))
+      .toDF("k", "ts_us", "tie", "del", "grp", "v"))
+    val aggFromTable = tbl.read().groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("v")).as("sum_v"))
+    assertSameRows(aggFromTable, view.read(),
+      "row store aggregated == aggregate view")
+  }
+
   test("applyRowDeltas: within-batch LWW, cross-batch replace, replay skip") {
     import graft.pipeline.MaterializedTable
     val work = tmpDir("mt-unit")
