@@ -89,7 +89,8 @@ object SparkEntry {
     "q66_hard_negatives" -> (Queries.q66HardNegatives _),
     "q67_chunk_docs" -> (Queries.q67ChunkDocs _),
     "q68_pack_sequences" -> (Queries.q68PackSequences _),
-    "q69_length_balance" -> (Queries.q69LengthBalance _)
+    "q69_length_balance" -> (Queries.q69LengthBalance _),
+    "q70_knn_persisted" -> (Queries.q70KnnPersisted _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -593,6 +594,24 @@ object SparkEntry {
     // over the larger %20 probe set. A pruning bug (a bucket skipped that
     // still held a true neighbor) breaks the hash here.
     "q43_knn_bucketed" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings
+        |           WHERE vec_id % 20 = 0
+        |             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |s AS (SELECT q.qid, e.vec_id,
+        |        list_dot_product(e.embedding::DOUBLE[], q.qv)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q.qv, q.qv))) AS c
+        |      FROM embeddings e, q
+        |      WHERE e.vec_id <> q.qid
+        |        AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT qid, vec_id, round(c, 4) AS cosine, rk FROM r WHERE rk <= 5""".stripMargin,
+    // q70 mirror: identical to q43's brute-force ranking — the stored
+    // index only changes WHERE the exact search reads from, never what
+    // it returns.
+    "q70_knn_persisted" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
         |           FROM embeddings
         |           WHERE vec_id % 20 = 0

@@ -159,10 +159,26 @@ object Similarity {
       nlist: Int = 64, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val (assigned, model) = buildIvfIndex(corpus, nlist, idCol = idCol, vecCol = vecCol)
+    knnJoinBucketedOn(assigned, model, queries, k, nProbe, idCol, vecCol,
+      qidCol, qvecCol)
+  }
+
+  /** The corpus-scale kNN join over a PREBUILT index — the daily-runnable
+    * form: the corpus side is a `readIvfIndex` table (cid-partitioned at
+    * rest, centroids/radii from the sidecar), so a probe batch pays two
+    * cid equi-joins against parquet that never re-clusters and never
+    * re-scans more buckets than exactness demands. Same recall-1.0
+    * machinery as `knnJoinBucketed` (which now delegates here after its
+    * inline build).
+    */
+  def knnJoinBucketedOn(indexIn: DataFrame, model: IvfModel,
+      queries: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && nProbe >= 1, "knnJoinBucketed: bad params")
-    val (assigned, model) = buildIvfIndex(corpus, nlist, idCol = idCol, vecCol = vecCol)
-    val index = assigned.select(col(idCol), col(vecCol), col("cid")).persist()
+    val index = indexIn.select(col(idCol), col(vecCol), col("cid")).persist()
     val nP = math.min(nProbe, model.nlist)
     val isFloatQ = isFloatVec(queries, qvecCol)
 

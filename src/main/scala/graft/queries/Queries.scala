@@ -804,6 +804,28 @@ object Queries {
   def q69LengthBalance(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Corpus.lengthBalance(table(spark, sfDir, "documents"))
 
+  /** q70: q43's corpus-scale kNN join through the PERSISTED index — the
+    * daily-runnable form (the q55 story for ANN): probes pay two cid
+    * equi-joins against the at-rest cid-partitioned parquet; k-means
+    * never re-trains per batch. Same brute-force-ranking oracle as q43
+    * (exact by construction at ANY centroids, including the appended
+    * generation the fixture index carries).
+    */
+  def q70KnnPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIndexDir(spark, sfDir, "ivf-64") { d =>
+      val embs = table(spark, sfDir, "embeddings")
+      graft.ops.Similarity.writeIvfIndex(embs.where(col("vec_id") % 4 =!= 1), d,
+        nlist = 64)
+      graft.ops.Similarity.appendIvfIndex(embs.where(col("vec_id") % 4 === 1), d)
+      ()
+    }
+    val (index, model) = graft.ops.Similarity.readIvfIndex(spark, dir)
+    val probes = table(spark, sfDir, "embeddings")
+      .where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.ops.Similarity.knnJoinBucketedOn(index, model, probes, k = 5, nProbe = 4)
+  }
+
   /** q58: SCD2 history materialization of the `events` changelog — each
     * user's event stream becomes versioned rows with validity intervals
     * (the warehouse history table a CDC pipeline feeds; `Scd2.scd2Stream`

@@ -588,6 +588,21 @@ class OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("knnJoinBucketedOn over the at-rest index == broadcast knnJoin") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val dir = tmpDir("knn-idx")
+    Similarity.writeIvfIndex(emb.where(col("vec_id") % 3 =!= 1), dir, nlist = 8)
+    Similarity.appendIvfIndex(emb.where(col("vec_id") % 3 === 1), dir)
+    val (index, model) = Similarity.readIvfIndex(spark, dir)
+    assertSameRows(
+      Similarity.knnJoinBucketedOn(index, model, probes, k = 5, nProbe = 2),
+      Similarity.knnJoin(emb, probes, k = 5),
+      "stored-index bucketed knn vs broadcast knn")
+    spark.catalog.clearCache()
+  }
+
   test("filteredSearch == brute force over the filtered set, incl. forced expansion") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qv = emb.where(col("vec_id") === 0L)
