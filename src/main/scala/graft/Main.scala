@@ -189,6 +189,13 @@ object Main {
         val kept = snk.readCommitted("events").map(_.count()).getOrElse(0L)
         println(s"[ingest] kept=$kept sources=${snk.tables().size} " +
           s"batches=${snk.committedBatchIds.size}")
+      case "diff" :: workDir :: from :: to :: Nil =>
+        // audit: the change set between two committed frontiers
+        val d = pipeline.CdcPipeline.diff(spark, s"$workDir/out",
+          from.toLong, to.toLong)
+        d.groupBy(col("change")).count().orderBy(col("change")).show(10, truncate = false)
+        d.orderBy(col("conv_id"), col("turn_idx")).show(20, truncate = false)
+        println(s"[diff] changes=${d.count()} from=$from to=$to")
       case "view" :: changesDir :: workDir :: rest =>
         // materialized aggregate-view maintenance (pipeline.MaterializedView):
         // changelog file stream (user_id, ts, event_id, op, grp, v) →
@@ -271,7 +278,7 @@ object Main {
       case other =>
         System.err.println(s"unknown args: ${other.mkString(" ")}\n" +
           "usage: gen <tableDir> [numConvs] [avgTurns] [zipf] | run <tableDir> <workDir> [mft] | " +
-          "materialize <workDir> | lineage <workDir> | " +
+          "materialize <workDir> | lineage <workDir> | diff <workDir> <from> <to> | " +
           "ingest <docsDir> <workDir> [minQuality] [knownDir] | " +
           "view <changesDir> <workDir> [watermark] [nBuckets] | " +
           "table <changesDir> <workDir> [watermark] [nBuckets] | " +

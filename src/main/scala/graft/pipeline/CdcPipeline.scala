@@ -248,6 +248,42 @@ object CdcPipeline {
       .as[Turn]
   }
 
+  /** Snapshot DIFF between two committed frontiers — the audit primitive
+    * "what changed between batch `fromBatch` and `toBatch`": per
+    * (conv_id, turn_idx) key, ADDED / REMOVED / CHANGED, with the before/
+    * after row digests (full-row md5 decides CHANGED; the text md5 rides
+    * along because per-turn text equality is the north-rule invariant
+    * auditors actually check). Unchanged keys are dropped — the output is
+    * the CHANGE SET, sized by churn, not by state.
+    *
+    * Scale: each side is the same manifest-filtered LWW read
+    * `materialize` does (partition-pruned by table, batch-pruned by the
+    * lineage); the two sides meet in ONE full-outer equi-join on the key
+    * both already shuffle on. Nothing broadcasts, nothing driver-side.
+    */
+  def diff(spark: SparkSession, outDir: String, fromBatch: Long, toBatch: Long,
+      table: Option[String] = None): DataFrame = {
+    require(fromBatch <= toBatch,
+      s"diff: fromBatch $fromBatch must be <= toBatch $toBatch")
+    def side(b: Long, tag: String) =
+      materialize(spark, outDir, table, Some(b)).toDF()
+        .select(col("conv_id"), col("turn_idx"),
+          md5(to_json(struct(col("role"), col("text"), col("tool"), col("ts"))))
+            .as(s"${tag}_md5"),
+          md5(col("text").cast("binary")).as(s"${tag}_text_md5"))
+    side(fromBatch, "before")
+      .join(side(toBatch, "after"), Seq("conv_id", "turn_idx"), "full_outer")
+      .withColumn("change",
+        when(col("before_md5").isNull, lit("added"))
+          .when(col("after_md5").isNull, lit("removed"))
+          .when(col("before_md5") =!= col("after_md5"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("change") =!= "unchanged")
+      .select(col("conv_id"), col("turn_idx"), col("change"),
+        col("before_md5"), col("after_md5"),
+        col("before_text_md5"), col("after_text_md5"))
+  }
+
   /** Stable-ordered view for writes/audits: clustered by conversation,
     * sorted by (turn_idx, ts) within partitions (SURVEY.md §4.4 ordering).
     */

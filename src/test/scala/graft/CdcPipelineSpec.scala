@@ -139,6 +139,53 @@ class CdcPipelineSpec extends SparkSpec {
     assert(ev.count() == uniq)
   }
 
+  test("snapshot diff: change set between two frontiers == brute-force state compare") {
+    val tableDir = tmpDir("tabled")
+    val streamDir = tmpDir("streamd")
+    val outDir = tmpDir("outd")
+    val ckDir = tmpDir("ckd")
+    TranscriptGen.writeTable(spark, cfg, tableDir)
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+    val b0 = new ExactlyOnceSink(spark, outDir).committedBatchIds.max
+    ChangeStreamReader.deliverChanges(spark, tableDir, streamDir)
+    CdcPipeline.runAvailable(spark, tableDir, streamDir, outDir, ckDir, maxFilesPerTrigger = 4)
+    val b1 = new ExactlyOnceSink(spark, outDir).committedBatchIds.max
+    assert(b1 > b0, "the change delivery must add committed batches")
+
+    // independent model: both states keyed in Scala, classified per key
+    def state(b: Long): Map[(String, Int), String] =
+      CdcPipeline.materialize(spark, outDir, asOfBatch = Some(b)).toDF()
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.toString).toMap
+    val sa = state(b0)
+    val sb = state(b1)
+    val wantByKey = ((sa.keySet ++ sb.keySet).flatMap { k =>
+      (sa.get(k), sb.get(k)) match {
+        case (None, Some(_)) => Some(k -> "added")
+        case (Some(_), None) => Some(k -> "removed")
+        case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+        case _ => None
+      }
+    }).toMap
+    val got = CdcPipeline.diff(spark, outDir, b0, b1).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got == wantByKey,
+      s"diff: got ${got.size} changes, want ${wantByKey.size}; " +
+        s"extra=${(got.toSet -- wantByKey.toSet).take(3)} " +
+        s"missing=${(wantByKey.toSet -- got.toSet).take(3)}")
+    assert(wantByKey.nonEmpty, "the fixture's change segments must actually change state")
+    // self-diff is empty; removed rows carry no after digest and vice versa
+    assert(CdcPipeline.diff(spark, outDir, b1, b1).count() == 0L)
+    val shape = CdcPipeline.diff(spark, outDir, b0, b1)
+      .select(col("change"), col("before_md5").isNull, col("after_md5").isNull)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(shape.forall {
+      case ("added", bNull, aNull) => bNull && !aNull
+      case ("removed", bNull, aNull) => !bNull && aNull
+      case ("changed", bNull, aNull) => !bNull && !aNull
+      case _ => false
+    }, "digest nullity must match the change kind")
+  }
+
   test("log compaction: content-preserving epoch rewrite; resume and time travel intact") {
     val tableDir = tmpDir("tablec")
     val streamDir = tmpDir("streamc")
