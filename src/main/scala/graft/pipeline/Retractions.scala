@@ -204,6 +204,132 @@ object Retractions {
       }
   }
 
+  // ------------------- incremental JOIN maintenance -------------------
+
+  /** A change on one side of a maintained two-changelog join. `j` is the
+    * JOIN attribute (the shuffle key); `k` the side's entity key; the
+    * rest the usual changelog envelope.
+    */
+  final case class SideEvent(side: Boolean, j: String, k: Long, ts: Timestamp,
+      tie: Long, op: String, v: Long) {
+    def tsMs: Long = ts.getTime
+    def tsUs: Long = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
+  }
+
+  /** One join-pair delta: the pair (a_k, b_k) with values (va, vb)
+    * entered (`d` = +1) or left (`d` = −1) the join result. Fold per
+    * (j, a_k, b_k, va, vb) — values INCLUDED, an update retracts the old
+    * value's pair and inserts the new one — summing `d`: surviving rows
+    * fold to exactly 1 and are the current inner join.
+    */
+  final case class JoinDelta(j: String, a_k: Long, b_k: Long, d: Long,
+      va: Long, vb: Long)
+
+  final case class SideChg(side: Boolean, k: Long, tsUs: Long, tsMs: Long,
+      tie: Long, del: Boolean, v: Long)
+
+  /** Per-join-key state: both sides' current rows + the unripe buffer.
+    * Current maps are bounded by rows PER JOIN KEY per side (the same
+    * bound any streaming join carries — a hot join key concentrates
+    * state; pre-aggregate or salt upstream if a key's side exceeds
+    * memory). The buffer drains every trigger.
+    */
+  final case class JoinState(aCur: Map[Long, Long], bCur: Map[Long, Long],
+      pending: Seq[SideChg])
+
+  private def emptyJoinState = JoinState(Map.empty, Map.empty, Vector.empty)
+
+  private def processJoin(j: String, it: Iterator[SideEvent],
+      state: GroupState[JoinState], streaming: Boolean): Iterator[JoinDelta] = {
+    var s = state.getOption.getOrElse(emptyJoinState)
+    if (!(streaming && state.hasTimedOut)) {
+      // redelivery dedup by (side, tie) inside the window, as everywhere
+      val have = s.pending.iterator.map(c => (c.side, c.tie)).toSet
+      val fresh = it
+        .map(e => SideChg(e.side, e.k, e.tsUs, e.tsMs, e.tie, e.op == "D", e.v))
+        .filterNot(c => have((c.side, c.tie))).toSeq
+        .distinctBy(c => (c.side, c.tie))
+      s = s.copy(pending = s.pending ++ fresh)
+    }
+    val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+    val (ripe, wait) = s.pending.partition(_.tsMs < wm)
+    val out = scala.collection.mutable.Buffer[JoinDelta]()
+    var aCur = s.aCur
+    var bCur = s.bCur
+    // one total (ts, tie) order per join key ACROSS sides: an A-change and
+    // a B-change interleave exactly as their event times dictate
+    ripe.sortBy(c => (c.tsUs, c.tie)).foreach { c =>
+      if (c.side) {
+        aCur.get(c.k).foreach(old =>
+          bCur.foreach { case (bk, vb) => out += JoinDelta(j, c.k, bk, -1L, old, vb) })
+        if (c.del) aCur -= c.k
+        else {
+          bCur.foreach { case (bk, vb) => out += JoinDelta(j, c.k, bk, 1L, c.v, vb) }
+          aCur += (c.k -> c.v)
+        }
+      } else {
+        bCur.get(c.k).foreach(old =>
+          aCur.foreach { case (ak, va) => out += JoinDelta(j, ak, c.k, -1L, va, old) })
+        if (c.del) bCur -= c.k
+        else {
+          aCur.foreach { case (ak, va) => out += JoinDelta(j, ak, c.k, 1L, va, c.v) }
+          bCur += (c.k -> c.v)
+        }
+      }
+    }
+    s = JoinState(aCur, bCur, wait)
+    state.update(s)
+    if (streaming && wait.nonEmpty)
+      state.setTimeoutTimestamp(
+        math.max(wait.iterator.map(_.tsMs).min, wm + 1))
+    out.iterator
+  }
+
+  /** Incremental inner-join maintenance over TWO changelogs — the
+    * dynamic-table join (Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB, with retractions): as
+    * either side's keys upsert, move, or die, join-pair deltas emit so a
+    * downstream fold always equals the inner join of the two CURRENT
+    * tables (`foldJoinDeltas`; the spec pins fold == batch LWW-join under
+    * out-of-order cross-side interleaving). Both changelogs must carry
+    * the same watermark clock in streaming mode; each event's `grp` is
+    * the join attribute and shuffles BOTH sides to the same state
+    * partition — one shuffle each, no broadcast, no rescan.
+    *
+    * CONTRACT: the join attribute is IMMUTABLE per (side, entity) — state
+    * is keyed by `j`, so a changelog that MOVES an entity between join
+    * keys must first be rewritten as a delete under the old key + an
+    * upsert under the new one (the per-entity sealed changelog
+    * `rowDeltaStream` emits is the right upstream to derive that rewrite
+    * from, since per-entity state is the only place the old key is
+    * known). Feeding a moving-key changelog directly leaves the old key's
+    * pairs unretracted.
+    */
+  def joinDeltaStream(a: Dataset[ChangeEvent], b: Dataset[ChangeEvent],
+      streaming: Boolean = true): Dataset[JoinDelta] = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    // COLUMN ops, not a typed map: a map mints fresh attributes and strips
+    // the event-time watermark tag, breaking EventTimeTimeout (the
+    // Transitions lesson); select keeps `ts` watermarked
+    def tag(s: Dataset[ChangeEvent], isA: Boolean) = s.toDF()
+      .select(lit(isA).as("side"), col("grp").as("j"), col("k"), col("ts"),
+        col("tie"), col("op"), col("v"))
+    val tagged = tag(a, isA = true).unionByName(tag(b, isA = false)).as[SideEvent]
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    tagged.groupByKey(_.j)
+      .flatMapGroupsWithState[JoinState, JoinDelta](OutputMode.Append, timeoutConf) {
+        (j, it, state) => processJoin(j, it, state, streaming)
+      }
+  }
+
+  /** Fold a join-delta set: the current inner-join rows they imply. */
+  def foldJoinDeltas(deltas: DataFrame): DataFrame =
+    deltas.groupBy(col("j"), col("a_k"), col("b_k"), col("va"), col("vb"))
+      .agg(sum(col("d")).as("_n"))
+      .where(col("_n") > 0)
+      .drop("_n")
+
   /** Build the `ChangeEvent` envelope from a DataFrame changelog. `ts` is
     * selected UNCAST (a cast mints a fresh attribute and strips event-time
     * watermark metadata, breaking EventTimeTimeout).

@@ -637,4 +637,86 @@ class EventTimeSpec extends SparkSpec {
     assert(deltas.count(_._2 == 1L) == 5 && deltas.count(_._2 == -1L) == 3,
       s"delta log shape: ${deltas.toSeq}")
   }
+
+  // -------------- incremental join maintenance (dynamic-table join) --------------
+
+  test("join deltas: fold == LWW inner join; cross-side interleaving, updates, deletes") {
+    import graft.pipeline.Retractions
+    import spark.implicits._
+    val t0 = 2000000000000000L // micros
+    def mkTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    // (side, j, k, ts, tie, op, v): on j=x, A updates a1's value, inserts
+    // and deletes a2; B inserts b1 then deletes it, inserts b2 BETWEEN
+    // a1's two versions. j=y holds an unmatched A row (no pairs); the
+    // final join must be exactly {(x, a1, b2, 11, 200)}.
+    val rows = Seq(
+      (1, "x", 1L, mkTs(t0), 1L, "U", 10L),
+      (0, "x", 50L, mkTs(t0 + 500000L), 2L, "U", 100L),
+      (1, "x", 2L, mkTs(t0 + 1000000L), 3L, "U", 20L),
+      (1, "x", 1L, mkTs(t0 + 2000000L), 4L, "U", 11L),
+      (0, "x", 51L, mkTs(t0 + 3000000L), 5L, "U", 200L),
+      (1, "x", 2L, mkTs(t0 + 4000000L), 6L, "D", 0L),
+      (0, "x", 50L, mkTs(t0 + 5000000L), 7L, "D", 0L),
+      (1, "y", 3L, mkTs(t0 + 1000000L), 8L, "U", 7L))
+    val df = rows.toDF("side", "j", "k", "ts", "event_id", "op", "v")
+    def sides(d: org.apache.spark.sql.DataFrame) = (
+      Retractions.changeEvents(d.where(col("side") === 1), "k", "ts",
+        "event_id", "op", "j", "v"),
+      Retractions.changeEvents(d.where(col("side") === 0), "k", "ts",
+        "event_id", "op", "j", "v"))
+    // generic oracle: LWW per (side, k), drop deletes, inner join on j
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("side"), col("k")).orderBy(col("ts").desc, col("event_id").desc)
+    val lww = df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("op") =!= "D")
+    val want = lww.where(col("side") === 1)
+      .select(col("j"), col("k").as("a_k"), col("v").as("va"))
+      .join(lww.where(col("side") === 0)
+        .select(col("j"), col("k").as("b_k"), col("v").as("vb")), "j")
+      .select(col("j"), col("a_k"), col("b_k"), col("va"), col("vb"))
+    val (ba, bb) = sides(df)
+    val batchFold = Retractions.foldJoinDeltas(
+      Retractions.joinDeltaStream(ba, bb, streaming = false).toDF())
+    assertSameRows(batchFold, want, "batch-mode join fold == LWW inner join")
+    assert(want.count() == 1L, "fixture sanity: one surviving pair")
+
+    // streaming: the two sides are branches of ONE watermarked source;
+    // file 2 delivers B's early insert and A's value update LATE (inside
+    // the window), file 3 redelivers everything, sentinels seal
+    val dir = tmpDir("jdelta")
+    def writeF(name: String, rs: Seq[(Int, String, Long, Timestamp, Long, String, Long)]): Unit = {
+      val tmp = s"$dir/.tmp-$name"
+      rs.toDF("side", "j", "k", "ts", "event_id", "op", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val (f2, f1) = rows.partition(r => r._5 == 2L || r._5 == 4L)
+    writeF("b1", f1)
+    writeF("b2", f2)
+    writeF("b3", f1 ++ f2)
+    writeF("b4", Seq((0, "hb", 99L, mkTs(t0 + 86400L * 1000000L), 900L, "U", 0L)))
+    writeF("b5", Seq((0, "hb", 99L, mkTs(t0 + 172800L * 1000000L), 901L, "U", 0L)))
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ts", "60 seconds")
+    val (sa, sb) = sides(stream)
+    val got = runToMemory(Retractions.joinDeltaStream(sa, sb).toDF(),
+      "jdelta_s", "append")
+      .where(col("j") =!= "hb")
+    assertSameRows(Retractions.foldJoinDeltas(got), want,
+      "streaming join fold == LWW inner join")
+    // the retraction algebra is visible: a1's value update retracted the
+    // (10, 100) pair it had with b1 before inserting (11, 100)
+    val log = got.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(log.contains((1L, 50L, -1L, 10L, 100L)) && log.contains((1L, 50L, 1L, 11L, 100L)),
+      s"update must retract the old pair: $log")
+  }
 }
