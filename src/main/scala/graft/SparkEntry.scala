@@ -90,7 +90,8 @@ object SparkEntry {
     "q67_chunk_docs" -> (Queries.q67ChunkDocs _),
     "q68_pack_sequences" -> (Queries.q68PackSequences _),
     "q69_length_balance" -> (Queries.q69LengthBalance _),
-    "q70_knn_persisted" -> (Queries.q70KnnPersisted _)
+    "q70_knn_persisted" -> (Queries.q70KnnPersisted _),
+    "q71_join_aggregate" -> (Queries.q71JoinAggregate _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -1078,6 +1079,22 @@ object SparkEntry {
         |        FROM c, m)
         |SELECT bk.doc_id, bk.bucket FROM bk JOIN thr USING (bucket)
         |WHERE ('0x' || substr(md5('L0:' || bk.doc_id), 1, 15))::UBIGINT::HUGEINT
-        |      < thr.thr""".stripMargin
+        |      < thr.thr""".stripMargin,
+    // q71 mirror: LWW per side (odd/even users), deletes dropped, inner
+    // join on event_type, per-key aggregate — exact integers throughout.
+    "q71_join_aggregate" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    event_type, event_id % 997 AS v FROM events),
+        |la AS (SELECT * FROM c WHERE user_id % 2 = 1 QUALIFY row_number()
+        |    OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        |lb AS (SELECT * FROM c WHERE user_id % 2 = 0 QUALIFY row_number()
+        |    OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT a.event_type AS grp, count(*) AS n_pairs,
+        |  CAST(sum(a.v) AS BIGINT) AS sum_va, CAST(sum(b.v) AS BIGINT) AS sum_vb
+        |FROM (SELECT event_type, v FROM la WHERE op <> 'D') a
+        |JOIN (SELECT event_type, v FROM lb WHERE op <> 'D') b
+        |  ON a.event_type = b.event_type
+        |GROUP BY 1""".stripMargin
   )
 }

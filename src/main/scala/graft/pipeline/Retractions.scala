@@ -63,6 +63,19 @@ object Retractions {
       .agg(count(lit(1)).as("n_keys"), sum(col(valueCol)).as("sum_v"))
   }
 
+  /** Batch current TABLE of a changelog: the latest change per key in
+    * (`tsCol`, `tieCol`) order, keys whose latest op is a delete absent —
+    * the LWW row set every aggregate/join view here summarizes.
+    */
+  def currentTable(changes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    changes.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col(opCol) =!= lit("D"))
+      .drop("_rn")
+  }
+
   /** Envelope: one keyed change. `op` == "D" deletes the key; anything
     * else upserts (`grp`, `v`) as the key's current row. `tie` breaks
     * equal-timestamp ordering (source lsn / event id) — the same total
@@ -321,6 +334,52 @@ object Retractions {
       .flatMapGroupsWithState[JoinState, JoinDelta](OutputMode.Append, timeoutConf) {
         (j, it, state) => processJoin(j, it, state, streaming)
       }
+  }
+
+  /** Rewrite a MOVING-KEY changelog into `joinDeltaStream`'s
+    * immutable-key contract: whenever an entity's join attribute changes
+    * (or the entity dies), emit a DELETE under the attribute it held
+    * before, then the upsert under the new one. Ties rescale ×2 so the
+    * synthetic delete (2·tie) sorts just before its trigger (2·tie+1)
+    * and the global (ts, tie) order is otherwise preserved. Deletes in
+    * the input are retargeted at the entity's CURRENT attribute (a raw
+    * changelog's D row often carries none); no-op deletes drop.
+    *
+    * This is the batch form (one window per entity — the same key
+    * shuffle the LWW view uses). In a real CDC deployment the rewrite is
+    * STATELESS: Debezium-style envelopes carry the before-image, so
+    * old-attribute deletes derive per event without state — this adapter
+    * exists for changelogs that lack before-images.
+    */
+  def rekeyMoves(changes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, opCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dead = " DEAD"
+    // the entity's attribute BEFORE this change: the last preceding
+    // upsert's grp, unless a delete intervened (the DEAD sentinel)
+    val prevRaw = last(
+      when(col(opCol) === lit("D"), lit(dead)).otherwise(col(groupCol)),
+      ignoreNulls = true).over(w)
+    val prev = when(prevRaw === lit(dead), lit(null)).otherwise(prevRaw)
+    val delRow = when(
+      col(opCol) === lit("D") && prev.isNotNull,
+      struct((col(tieCol) * 2 + 1).as("tie2"), lit("D").as("op2"),
+        prev.as("grp2"), lit(0L).as("v2")))
+      .when(col(opCol) =!= lit("D") && prev.isNotNull && prev =!= col(groupCol),
+        struct((col(tieCol) * 2).as("tie2"), lit("D").as("op2"),
+          prev.as("grp2"), lit(0L).as("v2")))
+    val insRow = when(col(opCol) =!= lit("D"),
+      struct((col(tieCol) * 2 + 1).as("tie2"), lit("U").as("op2"),
+        col(groupCol).as("grp2"), col(valueCol).cast("long").as("v2")))
+    changes
+      .withColumn("_rows", filter(array(delRow, insRow), r => r.isNotNull))
+      .select(col(keyCol), col(tsCol), explode(col("_rows")).as("_r"))
+      .select(col(keyCol), col(tsCol), col("_r.tie2").as(tieCol),
+        col("_r.op2").as(opCol), col("_r.grp2").as(groupCol),
+        col("_r.v2").as(valueCol))
   }
 
   /** Fold a join-delta set: the current inner-join rows they imply. */

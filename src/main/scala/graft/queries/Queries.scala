@@ -826,6 +826,28 @@ object Queries {
     graft.ops.Similarity.knnJoinBucketedOn(index, model, probes, k = 5, nProbe = 4)
   }
 
+  /** q71: changelog JOIN aggregate — the batch form of the maintained
+    * dynamic-table join (`Retractions.joinDeltaStream` is the streaming
+    * twin): two changelogs (odd/even users) LWW-resolve independently,
+    * inner-join on the shared attribute, aggregate per join key. One
+    * key-shuffle window per side + one equi-join + a hash agg on the
+    * tiny join-key domain.
+    */
+  def q71JoinAggregate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Retractions
+    val ev = table(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_id") % 17 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("event_type"), (col("event_id") % 997).as("v"))
+    def side(parity: Int) = Retractions.currentTable(
+      ev.where(col("user_id") % 2 === parity), "user_id", "ts", "event_id", "op")
+    side(1).select(col("event_type").as("grp"), col("v").as("va"))
+      .join(side(0).select(col("event_type").as("grp"), col("v").as("vb")), "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("va")).as("sum_va"),
+        sum(col("vb")).as("sum_vb"))
+  }
+
   /** q58: SCD2 history materialization of the `events` changelog — each
     * user's event stream becomes versioned rows with validity intervals
     * (the warehouse history table a CDC pipeline feeds; `Scd2.scd2Stream`

@@ -719,4 +719,26 @@ class EventTimeSpec extends SparkSpec {
     assert(log.contains((1L, 50L, -1L, 10L, 100L)) && log.contains((1L, 50L, 1L, 11L, 100L)),
       s"update must retract the old pair: $log")
   }
+
+  test("join fold over the fixture changelog == the q71 batch join aggregate") {
+    import graft.pipeline.Retractions
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"),
+        when(col("event_id") % 17 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("event_type"), (col("event_id") % 997).as("v"))
+    // the fixture changelog MOVES users between event types and its D rows
+    // carry no attribute — exactly what rekeyMoves exists to rewrite
+    def side(parity: Int) = Retractions.changeEvents(
+      Retractions.rekeyMoves(ev.where(col("user_id") % 2 === parity),
+        "user_id", "ts", "event_id", "op", "event_type", "v"),
+      "user_id", "ts", "event_id", "op", "event_type", "v")
+    val folded = Retractions.foldJoinDeltas(
+      Retractions.joinDeltaStream(side(1), side(0), streaming = false).toDF())
+      .groupBy(col("j").as("grp"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("va")).as("sum_va"),
+        sum(col("vb")).as("sum_vb"))
+    assertSameRows(folded,
+      graft.queries.Queries.q71JoinAggregate(spark, "/root/testdata/sf0.001"),
+      "streaming-op fold aggregated == batch join aggregate")
+  }
 }
