@@ -41,7 +41,10 @@ object ClusterCheck {
     "q63_event_bigrams", "q64_retract_agg",
     // the id-axis binned cumsum (driver bin offsets broadcast back into
     // executor JVMs) under real serialization boundaries
-    "q68_pack_sequences")
+    "q68_pack_sequences",
+    // the at-rest IVF index probed as a corpus-scale JOIN from separate
+    // executor JVMs, and the two-changelog LWW join aggregate
+    "q70_knn_persisted", "q71_join_aggregate")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     val cols = df.columns.sorted
