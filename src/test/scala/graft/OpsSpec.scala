@@ -775,6 +775,27 @@ class OpsSpec extends SparkSpec {
       s"uniform corpus must keep everything in bucket 0: ${gotUni.take(5).toSeq}")
   }
 
+  test("prep-op edges: empty inputs, zero overlap, unit params") {
+    import graft.ops.Corpus
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty corpora yield empty, schema-stable results — not crashes
+    assert(Corpus.chunkDocs(empty, chunkTokens = 4).count() == 0L)
+    assert(Corpus.packSequences(empty, seqLen = 8).count() == 0L)
+    // zero overlap: chunks tile exactly, sum of chunk tokens == doc tokens
+    val one = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val tiled = Corpus.chunkDocs(one, chunkTokens = 3, overlap = 0)
+      .select("n_tok").collect().map(_.getLong(0))
+    assert(tiled.toSeq.sorted == Seq(1L, 3L, 3L) && tiled.sum == 7L)
+    // seqLen = 1: every token is its own sequence, all exactly full
+    val seqs = Corpus.packSequences(one, seqLen = 1)
+    assert(seqs.count() == 7L &&
+      seqs.where(col("n_tokens") =!= 1L).count() == 0L)
+    // bad params fail loud, not wrong
+    intercept[IllegalArgumentException](Corpus.chunkDocs(one, 4, overlap = 4))
+    intercept[IllegalArgumentException](Corpus.packSequences(one, 0))
+  }
+
   test("packShards == per-writer cumulative model; layout is content-addressed") {
     import graft.ops.Corpus
     val budget = 1024L
