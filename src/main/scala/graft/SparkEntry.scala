@@ -91,7 +91,8 @@ object SparkEntry {
     "q68_pack_sequences" -> (Queries.q68PackSequences _),
     "q69_length_balance" -> (Queries.q69LengthBalance _),
     "q70_knn_persisted" -> (Queries.q70KnnPersisted _),
-    "q71_join_aggregate" -> (Queries.q71JoinAggregate _)
+    "q71_join_aggregate" -> (Queries.q71JoinAggregate _),
+    "q72_bm25" -> (Queries.q72Bm25 _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -1095,6 +1096,35 @@ object SparkEntry {
         |FROM (SELECT event_type, v FROM la WHERE op <> 'D') a
         |JOIN (SELECT event_type, v FROM lb WHERE op <> 'D') b
         |  ON a.event_type = b.event_type
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // q72 mirror: the SAME IEEE arithmetic in the SAME parse order — the
+    // rational idf (n+1)/(df+1), tf*2.2, tf + 0.3 + (0.9*dl*n)/tt, terms
+    // summed left-associated; rank on the rounded score with id tiebreak.
+    "q72_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT count(*)::DOUBLE AS n,
+        |        sum(len(string_split(text, ' ')))::DOUBLE AS tt,
+        |        sum(CASE WHEN len(list_filter(string_split(text, ' '), x -> x = 'spark')) > 0
+        |            THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |        sum(CASE WHEN len(list_filter(string_split(text, ' '), x -> x = 'join')) > 0
+        |            THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |        sum(CASE WHEN len(list_filter(string_split(text, ' '), x -> x = 'window')) > 0
+        |            THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |      FROM documents),
+        |f AS (SELECT doc_id,
+        |        len(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf0,
+        |        len(list_filter(w, x -> x = 'join'))::DOUBLE AS tf1,
+        |        len(list_filter(w, x -> x = 'window'))::DOUBLE AS tf2,
+        |        len(w)::DOUBLE AS dl
+        |      FROM t),
+        |sc AS (SELECT doc_id,
+        |         (n + 1) / (df0 + 1) * (tf0 * 2.2) / (tf0 + 0.3 + (0.9 * dl * n) / tt)
+        |         + (n + 1) / (df1 + 1) * (tf1 * 2.2) / (tf1 + 0.3 + (0.9 * dl * n) / tt)
+        |         + (n + 1) / (df2 + 1) * (tf2 * 2.2) / (tf2 + 0.3 + (0.9 * dl * n) / tt)
+        |           AS score
+        |       FROM f, s)
+        |SELECT doc_id, round(score, 4) AS score,
+        |  row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rk
+        |FROM sc QUALIFY rk <= 20""".stripMargin
   )
 }

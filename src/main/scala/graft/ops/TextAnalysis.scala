@@ -275,4 +275,52 @@ object TextAnalysis {
       .withColumn("quality", qualityScore(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** BM25 top-k retrieval with a CROSS-ENGINE-EXACT scoring variant: the
+    * standard BM25 term weight with the log idf replaced by the rational
+    * smoothing (N+1)/(df+1) — rank-equivalent per term (both are
+    * monotone-decreasing in df), and, unlike `ln`, built ONLY from IEEE
+    * +,−,×,÷ whose results are identical in every engine. Terms sum in
+    * the FIXED order given (left-associated in the oracle too), so the
+    * emitted double reproduces bit-for-bit; the rank orders by the
+    * ROUNDED score with the id tiebreak (q51 convention).
+    *
+    * score(d) = Σ_t [(N+1)/(df_t+1)] · [tf·(k1+1)] / [tf + k1·(1−b) +
+    * k1·b·dl·N/T], with k1 = 1.2, b = 0.75 folded to the constants
+    * 2.2 / 0.3 / 0.9 literally, in that parse order, in both engines.
+    *
+    * Scale: per-term tf is a narrow `filter(tokens)` count — no explode,
+    * no shuffle until the final top-k (TakeOrderedAndProject); N/T/df
+    * are one aggregate collected to the driver and ride as literals.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && k >= 1, "bm25TopK: need terms and k >= 1")
+    val toks = tokens(col(textCol))
+    def tf(t: String): Column =
+      size(filter(toks, x => x === lit(t))).cast("double")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(size(filter(toks, x => x === lit(t))) > 0, 1L).otherwise(0L))
+        .as(s"df_$i")
+    }
+    val aggs = docs.agg(count(lit(1)).as("n"),
+      (sum(tokenCount(col(textCol)).cast("long")).as("t") +: dfCols): _*).first()
+    val n = aggs.getLong(0).toDouble
+    val totalT = aggs.getLong(1).toDouble
+    val dl = tokenCount(col(textCol)).cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val idf = (n + 1.0) / (aggs.getLong(2 + i).toDouble + 1.0)
+      (lit(idf) * (tf(t) * lit(2.2))) /
+        (tf(t) + lit(0.3) + (lit(0.9) * dl * lit(n)) / lit(totalT))
+    }.reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    // TakeOrderedAndProject first (no global shuffle); the rank window
+    // then runs over the k survivors only
+    val top = docs.withColumn("score", round(score, 4))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("score").desc, col(idCol))))
+  }
 }

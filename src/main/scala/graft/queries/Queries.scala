@@ -848,6 +848,15 @@ object Queries {
         sum(col("vb")).as("sum_vb"))
   }
 
+  /** q72: BM25 top-20 retrieval for a fixed 3-term query — the lexical
+    * retrieval op every corpus pipeline pairs with ANN, in the
+    * cross-engine-exact rational-idf variant (no `ln` — libm rounding is
+    * not portable; see `TextAnalysis.bm25TopK`).
+    */
+  def q72Bm25(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextAnalysis.bm25TopK(table(spark, sfDir, "documents"),
+      terms = Seq("spark", "join", "window"), k = 20)
+
   /** q58: SCD2 history materialization of the `events` changelog — each
     * user's event stream becomes versioned rows with validity intervals
     * (the warehouse history table a CDC pipeline feeds; `Scd2.scd2Stream`

@@ -326,6 +326,16 @@ class PlanSpec extends SparkSpec {
       "the kept-set filter must not shuffle:\n" + p.take(800))
   }
 
+  test("q72: BM25 — narrow scoring scan, top-k via TakeOrderedAndProject, no text shuffle") {
+    val p = plan(Queries.q72Bm25(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not global-sort:\n" + p.take(800))
+    val bad = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!bad, "document text must not shuffle:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("q51: centroid classify — centroids broadcast back, no text in any exchange") {
     val p = plan(Queries.q51CentroidClassify(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
