@@ -223,6 +223,17 @@ object Main {
         val t = mt.read()
         t.orderBy(col("k")).show(20, truncate = false)
         println(s"[table] keys=${t.count()}")
+      case "pack" :: docsDir :: workDir :: rest =>
+        // continuous sequence packing: document file stream -> fixed
+        // seqLen-token training sequences on one persisted global tape
+        val seqLen = rest.headOption.map(_.toInt).getOrElse(512)
+        val schema = spark.read.parquet(docsDir).schema
+        pipeline.StreamPack.start(spark, docsDir, schema, s"$workDir/pack",
+          s"$workDir/checkpoint", seqLen).awaitTermination()
+        val m = pipeline.StreamPack.readManifest(spark, s"$workDir/pack")
+        val (b, cur) = pipeline.StreamPack.cursor(spark, s"$workDir/pack")
+        m.orderBy(col("seq_id")).show(10, truncate = false)
+        println(s"[pack] sequences=${m.count()} cursor=$cur lastBatch=$b seqLen=$seqLen")
       case "ivf" :: action :: indexDir :: rest =>
         // IVF-index maintenance lifecycle (the ANN twin of `index`):
         //   ivf build  <indexDir> <embsDir> [nlist]  (train + write at rest)
@@ -283,7 +294,8 @@ object Main {
           "view <changesDir> <workDir> [watermark] [nBuckets] | " +
           "table <changesDir> <workDir> [watermark] [nBuckets] | " +
           "index build|append|compact|stat <indexDir> [args] | " +
-          "ivf build|append|stat <indexDir> [args]")
+          "ivf build|append|stat <indexDir> [args] | " +
+          "pack <docsDir> <workDir> [seqLen]")
         sys.exit(2)
     }
   }

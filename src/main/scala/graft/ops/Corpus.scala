@@ -273,12 +273,23 @@ object Corpus {
     * per doc; the per-sequence aggregate shuffles a few longs.
     */
   def packSequences(docs: DataFrame, seqLen: Int, binBits: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packSequencesFrom(docs, seqLen, baseOffset = 0L, binBits, idCol, textCol)._1
+
+  /** `packSequences` continued from a running token cursor: offsets start
+    * at `baseOffset` (so a CONTINUOUS packer can thread batches through
+    * one global tape — `StreamPack`), and the input's total token count
+    * returns alongside the manifest for the caller to advance its cursor.
+    */
+  def packSequencesFrom(docs: DataFrame, seqLen: Int, baseOffset: Long,
+      binBits: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Long) = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(binBits >= 1 && binBits <= 30, s"binBits must be in [1,30], got $binBits")
     val spark = docs.sparkSession
+    require(baseOffset >= 0, s"baseOffset must be >= 0, got $baseOffset")
     val maxId = docs.agg(max(col(idCol))).first() match {
-      case r if r.isNullAt(0) => return spark.createDataFrame(
+      case r if r.isNullAt(0) => return (spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("seq_id",
@@ -290,7 +301,7 @@ object Corpus {
           org.apache.spark.sql.types.StructField("first_doc",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("last_doc",
-            org.apache.spark.sql.types.LongType))))
+            org.apache.spark.sql.types.LongType)))), 0L)
       case r => r.getLong(0)
     }
     require(maxId >= 0, s"packSequences expects non-negative ids, max was $maxId")
@@ -304,10 +315,11 @@ object Corpus {
     val binSums = withB.groupBy(col("_bin"))
       .agg(sum(col("_tk")).as("tk")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
+    var acc = baseOffset
     val offsets = binSums.map { case (bin, tk) =>
       val o = acc; acc += tk; (bin, o)
     }
+    val totalTokens = acc - baseOffset
     import spark.implicits._
     val offDf = broadcast(offsets.toSeq.toDF("_bin", "_binOff"))
     val w = Window.partitionBy(col("_bin")).orderBy(col(idCol))
@@ -323,9 +335,10 @@ object Corpus {
       .withColumn("_ov",
         least(((col("seq_id") + 1) * L), col("_off") + col("_tk")) -
           greatest(col("seq_id") * L, col("_off")))
-    spanned.groupBy(col("seq_id"))
+    (spanned.groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_ov")).as("n_tokens"),
-        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc")),
+      totalTokens)
   }
 
   /** Nearest-centroid classification over hashed n-gram embeddings: each

@@ -216,4 +216,50 @@ class CorpusIngestSpec extends SparkSpec {
       .awaitTermination()
     assert(sink.readCommitted("events").get.count() == 1)
   }
+
+  test("continuous sequence packing == one-shot pack; cursor survives; replay no-op") {
+    import graft.pipeline.StreamPack
+    val dir = tmpDir("sp-docs"); val work = tmpDir("sp-work"); val ck = tmpDir("sp-ck")
+    // id-ordered arrival: with in-order delivery the tape equals the
+    // batch operator's (the contract under test)
+    writeSlice(dir, "f1", docs.where(col("doc_id") < 150))
+    writeSlice(dir, "f2", docs.where(col("doc_id") >= 150 && col("doc_id") < 300))
+    StreamPack.start(spark, dir, docs.schema, work, ck, seqLen = 512)
+      .awaitTermination()
+    val mid = StreamPack.cursor(spark, work)
+    assert(mid._2 > 0, s"cursor must advance: $mid")
+    // a third file arrives later: the packer continues the SAME tape
+    writeSlice(dir, "f3", docs.where(col("doc_id") >= 300))
+    StreamPack.start(spark, dir, docs.schema, work, ck, seqLen = 512)
+      .awaitTermination()
+    val want = graft.ops.Corpus.packSequences(docs, seqLen = 512)
+    assertSameRows(StreamPack.readManifest(spark, work), want,
+      "continuous pack == one-shot pack")
+    val (lastBatch, endCur) = StreamPack.cursor(spark, work)
+    // the cursor is the total token count of the packable corpus
+    val totalTokens = docs
+      .select(sum(TextAnalysis.tokenCount(col("text")).cast("long"))).first().getLong(0)
+    assert(endCur == totalTokens, s"cursor $endCur != corpus tokens $totalTokens")
+
+    // rerun with nothing new: no-op (no new commits, manifest identical)
+    StreamPack.start(spark, dir, docs.schema, work, ck, seqLen = 512)
+      .awaitTermination()
+    assert(StreamPack.cursor(spark, work) == ((lastBatch, endCur)))
+    assertSameRows(StreamPack.readManifest(spark, work), want, "rerun no-op")
+
+    // crash window: the last batch's marker vanishes (crash between rows
+    // and marker) — replaying that batch from the same cursor rewrites
+    // byte-identically and restores the cursor
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/_commits/$lastBatch"), false)
+    StreamPack.applyBatch(spark, work, lastBatch,
+      docs.where(col("doc_id") >= 300), seqLen = 512)
+    assert(StreamPack.cursor(spark, work) == ((lastBatch, endCur)))
+    assertSameRows(StreamPack.readManifest(spark, work), want,
+      "replay after a torn commit == original")
+    // and a replay of an already-committed batch is a whole-batch skip
+    StreamPack.applyBatch(spark, work, lastBatch,
+      docs.limit(1), seqLen = 512)
+    assertSameRows(StreamPack.readManifest(spark, work), want, "committed replay skipped")
+  }
 }
