@@ -92,7 +92,8 @@ object SparkEntry {
     "q69_length_balance" -> (Queries.q69LengthBalance _),
     "q70_knn_persisted" -> (Queries.q70KnnPersisted _),
     "q71_join_aggregate" -> (Queries.q71JoinAggregate _),
-    "q72_bm25" -> (Queries.q72Bm25 _)
+    "q72_bm25" -> (Queries.q72Bm25 _),
+    "q73_leak_safe_split" -> (Queries.q73LeakSafeSplit _)
   )
 
   /** DuckDB 3-gram Jaccard pair query (shared by q11 and q12 — the LSH
@@ -1125,6 +1126,40 @@ object SparkEntry {
         |       FROM f, s)
         |SELECT doc_id, round(score, 4) AS score,
         |  row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rk
-        |FROM sc QUALIFY rk <= 20""".stripMargin
+        |FROM sc QUALIFY rk <= 20""".stripMargin,
+    // q73 mirror: test = hash threshold floor(0.10 * 2^60) on the t0 salt;
+    // train = rest minus exact text matches and >= 0.6 3-gram jaccard
+    // near-dups of any test doc (the q50 asymmetric shape with the test
+    // set as the corpus side).
+    "q73_leak_safe_split" ->
+      """WITH tst AS (SELECT doc_id, text FROM documents
+        |    WHERE ('0x' || substr(md5('t0:' || doc_id), 1, 15))::UBIGINT
+        |          < 115292150460684697),
+        |tr AS (SELECT doc_id, text FROM documents
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM tst)),
+        |ex AS (SELECT DISTINCT tr.doc_id FROM tr
+        |       JOIN (SELECT DISTINCT text FROM tst) t ON tr.text = t.text),
+        |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
+        |sw AS (SELECT doc_id AS tid, string_split(text, ' ') AS w FROM tst),
+        |gn AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |       FROM tw, (SELECT unnest(generate_series(1,
+        |              (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |       WHERE i <= len(w) - 2),
+        |gk AS (SELECT DISTINCT tid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |       FROM sw, (SELECT unnest(generate_series(1,
+        |              (SELECT max(len(string_split(text, ' '))) FROM documents))) AS i) s
+        |       WHERE i <= len(w) - 2),
+        |nn AS (SELECT doc_id, count(*) AS ng FROM gn GROUP BY doc_id),
+        |nk AS (SELECT tid, count(*) AS ng FROM gk GROUP BY tid),
+        |near AS (SELECT DISTINCT c.nid FROM (
+        |           SELECT gn.doc_id AS nid, gk.tid AS oid, count(*) AS inter
+        |           FROM gn JOIN gk ON gn.gram = gk.gram GROUP BY 1, 2) c
+        |         JOIN nn ON c.nid = nn.doc_id JOIN nk ON c.oid = nk.tid
+        |         WHERE inter * 1.0 / (nn.ng + nk.ng - inter) >= 0.6)
+        |SELECT doc_id, 'test' AS split FROM tst
+        |UNION ALL
+        |SELECT doc_id, 'train' AS split FROM tr
+        |WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+        |  AND doc_id NOT IN (SELECT nid FROM near)""".stripMargin
   )
 }

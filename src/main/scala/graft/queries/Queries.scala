@@ -857,6 +857,25 @@ object Queries {
     graft.ops.TextAnalysis.bm25TopK(table(spark, sfDir, "documents"),
       terms = Seq("spark", "join", "window"), k = 20)
 
+  /** q73: leakage-safe train/test split — the split-time decontamination
+    * every eval pipeline needs: test = the content-addressed ~10%
+    * (`hashSample` — reproducible on any engine/partitioning), train =
+    * the remainder MINUS anything exact- or near-duplicating a test doc
+    * (the q50 asymmetric index join, threshold 0.6), so test answers
+    * can't leak into training via re-crawls/paraphrases. Emits
+    * (doc_id, split).
+    */
+  def q73LeakSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val test = graft.ops.Dedup.hashSample(docs, rate = 0.10, salt = "t0")
+    val cand = docs.join(test.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val kept = cand.join(
+      graft.ops.Dedup.incrementalDedupIds(cand, test, threshold = 0.6),
+      Seq("doc_id"), "left_semi")
+    test.select(col("doc_id"), lit("test").as("split"))
+      .unionByName(kept.select(col("doc_id"), lit("train").as("split")))
+  }
+
   /** q58: SCD2 history materialization of the `events` changelog — each
     * user's event stream becomes versioned rows with validity intervals
     * (the warehouse history table a CDC pipeline feeds; `Scd2.scd2Stream`
