@@ -94,26 +94,57 @@ object HashingKernels {
       }
     })
 
+  /** DIM-MAJOR transpose of `hyperplanes` — ht(d)(p) = H(p)(d). The
+    * integer band-key kernel iterates nonzero dims on the outside (hashed
+    * n-gram embeddings are sparse: ~50 of 256 dims at the fixture shape),
+    * so the inner loop wants one contiguous per-dim row (r7).
+    */
+  private val hpTCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Byte]]]()
+
+  private def hyperplanesT(planes: Int, dims: Int): Array[Array[Byte]] =
+    hpTCache.computeIfAbsent((planes, dims), { key =>
+      val (p, d) = key
+      val h = hyperplanes(p, d)
+      Array.tabulate(d) { di =>
+        val row = new Array[Byte](p)
+        var pi = 0
+        while (pi < p) { row(pi) = h(pi)(di); pi += 1 }
+        row
+      }
+    })
+
   /** bands LSH keys: key(b) packs bitsPerBand sign bits, bit i of band b =
     * [dot(v, H(b*bitsPerBand+i)) > 0]. Integer dot → the sign is exact in
     * any engine (no FP tie ambiguity).
+    *
+    * r7: accumulation is SPARSE and dim-major — for each nonzero dim,
+    * one contiguous pass adds x·H(p)(d) into all plane dots. Work drops
+    * from dims×planes to nnz×planes per vector (~5× at the fixture
+    * sparsity; the q22 operating point runs 1,260 planes). Integer adds
+    * commute exactly, so every dot — and therefore every key — is
+    * bit-identical to the plane-major form.
     */
   def bandKeys(vec: ArrayData, bands: Int, bitsPerBand: Int): ArrayData = {
     val dims = vec.numElements()
     val v = vec.toLongArray()
-    val h = hyperplanes(bands * bitsPerBand, dims)
+    val planes = bands * bitsPerBand
+    val ht = hyperplanesT(planes, dims)
+    val dots = new Array[Long](planes)
+    var d = 0
+    while (d < dims) {
+      val x = v(d)
+      if (x != 0L) {
+        val row = ht(d)
+        var p = 0
+        while (p < planes) { dots(p) += x * row(p); p += 1 }
+      }
+      d += 1
+    }
     val keys = new Array[Long](bands)
     var p = 0
-    while (p < bands * bitsPerBand) {
-      val row = h(p)
-      var dot = 0L
-      var d = 0
-      while (d < dims) {
-        val x = v(d)
-        if (x != 0L) dot += x * row(d)
-        d += 1
-      }
-      if (dot > 0L) keys(p / bitsPerBand) |= 1L << (p % bitsPerBand)
+    while (p < planes) {
+      if (dots(p) > 0L) keys(p / bitsPerBand) |= 1L << (p % bitsPerBand)
       p += 1
     }
     new GenericArrayData(keys)
@@ -160,6 +191,99 @@ object HashingKernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** The function-word list of the quality/lang-id heuristics (canonical
+    * copy — ops.TextAnalysis.StopWords aliases it).
+    */
+  val QualityStopWords: Array[String] =
+    Array("the", "a", "of", "and", "to", "in", "is", "over")
+
+  private val StopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    QualityStopWords.foreach(s.add)
+    s
+  }
+
+  /** Composite quality score in ONE pass per document (r7): replicates the
+    * builtin-HOF expression form FLOATING-OP BY FLOATING-OP —
+    *   lenScore      = min(1, n/100)
+    *   stopScore     = min(1, (stops/n)·5)
+    *   meanLenScore  = min(1, (charSum/n)/8)    charSum folds as LONG
+    *   diversity     = distinct/n
+    *   score         = Round(((lenScore+stopScore)+meanLenScore+diversity)/4, 4)
+    * with Spark Round's BigDecimal.valueOf(x).setScale(4, HALF_UP) — so the
+    * result is bit-identical to the expression pipeline it replaces (and to
+    * the DuckDB mirror that matched it). Token length counts CODE POINTS,
+    * matching Spark `length` = UTF8String.numChars. The interpreted HOFs
+    * (aggregate / filter / array_distinct per token, ~0.1 ms/doc) made this
+    * the dominant scan cost of every quality-gated pipeline stage.
+    */
+  def qualityScore(text: UTF8String): Double = {
+    val w = text.toString.split(" ", -1)
+    val n = w.length.toDouble
+    var stops = 0
+    var charSum = 0L
+    val distinct = new java.util.HashSet[String]((w.length * 2) max 16)
+    var i = 0
+    while (i < w.length) {
+      val t = w(i)
+      if (StopSet.contains(t)) stops += 1
+      charSum += t.codePointCount(0, t.length)
+      distinct.add(t)
+      i += 1
+    }
+    val lenScore = math.min(1.0, n / 100.0)
+    val stopScore = math.min(1.0, (stops / n) * 5.0)
+    val meanLenScore = math.min(1.0, charSum.toDouble / n / 8.0)
+    val diversity = distinct.size / n
+    java.math.BigDecimal
+      .valueOf((((lenScore + stopScore) + meanLenScore) + diversity) / 4.0)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** Winnowing fingerprint selection in ONE pass per document (r7): hash
+    * every k-token window with the engine-neutral 60-bit md5 hash
+    * (TextAnalysis.tokenHash60 semantics — first 15 md5-hex chars as a
+    * long), slide the w-window, keep each window's minimum fp with ties to
+    * the RIGHTMOST position (robust winnowing), and emit the DISTINCT
+    * selected (pos, fp) pairs. Replaces the posexplode → per-doc window
+    * sort → frame-min → distinct pipeline (a full corpus shuffle on the
+    * doc key) with a narrow codegen'd map; the selected set is identical
+    * by construction (ModelCheckSpec pins it against the brute-force
+    * model). Selected positions are monotone non-decreasing as the window
+    * slides, so last-emitted-position dedup IS distinct. Docs with fewer
+    * than w windows yield an empty array (the `_n = w` contract).
+    */
+  def winnowFps(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val wd = text.toString.split(" ", -1)
+    if (wd.length < k) return new GenericArrayData(Array.empty[Any])
+    val m = wd.length - k + 1
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val fps = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(wd(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(wd(i + j)); j += 1 }
+      fps(i) = java.lang.Long.parseLong(md5hex(sb.toString).substring(0, 15), 16)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](2 * m / (w + 1) + 4)
+    var lastPos = -1
+    i = 0
+    while (i <= m - w) {
+      var sel = i
+      var j = i + 1
+      while (j < i + w) { if (fps(j) <= fps(sel)) sel = j; j += 1 }
+      if (sel != lastPos) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](sel, fps(sel)))
+        lastPos = sel
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** 60-bit unweighted SimHash over md5 token hashes in ONE pass per
@@ -333,6 +457,41 @@ case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** winnow_fps(text, k, w): distinct robust-winnowing selections as
+  * array<struct<pos:int, fp:bigint>> (see HashingKernels.winnowFps).
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, "winnow_fps: k and w must be >= 1")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.winnowFps(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.winnowFps($c, $k, $w);")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+/** quality_score(text): one-pass composite quality score (see
+  * HashingKernels.qualityScore).
+  */
+case class QualityScore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "quality_score"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.qualityScore(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.qualityScore($c);")
+  override protected def withNewChildInternal(newChild: Expression): QualityScore =
+    copy(child = newChild)
+}
+
 /** simhash60(text): one-pass 60-bit SimHash signature (narrow, codegen'd). */
 case class Simhash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -441,6 +600,13 @@ object GraftFunctions {
     (new FunctionIdentifier("word_ngrams_all"),
       new ExpressionInfo(classOf[WordNgramsAll].getName, "word_ngrams_all"),
       (args: Seq[Expression]) => WordNgramsAll(args.head, intLit(args(1), "n"))),
+    (new FunctionIdentifier("quality_score"),
+      new ExpressionInfo(classOf[QualityScore].getName, "quality_score"),
+      (args: Seq[Expression]) => QualityScore(args.head)),
+    (new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (args: Seq[Expression]) =>
+        WinnowFps(args.head, intLit(args(1), "k"), intLit(args(2), "w"))),
     (new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
       (args: Seq[Expression]) => Simhash60(args.head)),

@@ -125,6 +125,74 @@ object VectorKernels {
   val KindFloat = 1
   val KindLong = 2
 
+  /** Per-stratum dense centroid state for `centroid_argmax` (r7, the q51
+    * rewrite): stratum names sorted ASCENDING (so the first strict-greater
+    * winner reproduces the (score desc, name asc) row_number tiebreak),
+    * dense integer centroid vectors (0 where the stratum has no posting for
+    * the dim), a PRESENCE mask (dims where ANY member doc had a nonzero
+    * entry — including dims whose signs cancelled to c = 0, which the
+    * former inner join on dim kept as evidence), and √|C|² precomputed as
+    * `Math.sqrt((double) cn2)` — exactly Spark's SQRT(longCol) cast+fold.
+    * Strata with cn2 = 0 are excluded by the builder (the former
+    * `where(cn2 > 0)`).
+    */
+  final class StrataCentroids(
+      val names: Array[String],
+      val cvecs: Array[Array[Long]],
+      val present: Array[Array[Boolean]],
+      val sqrtCn2: Array[Double]) extends Serializable
+
+  /** Nearest-centroid-by-SCORE argmax over integer hashed embeddings — the
+    * narrow kernel form of centroidClassify's former
+    * explode → dim-join (×strata fan-out) → (id, stratum) aggregate →
+    * window pipeline, with IDENTICAL semantics:
+    *   - a stratum enters the argmax iff the doc shares ≥1 nonzero dim with
+    *     the stratum's posting set (the inner-join-on-dim contract — a
+    *     shared dim whose centroid value cancelled to 0 still counts as
+    *     evidence);
+    *   - score = round(dot / √|C|², 4) with Spark Round's exact
+    *     BigDecimal.valueOf(x).setScale(4, HALF_UP) semantics (rounding
+    *     BEFORE the argmax, as the former window ordered by the rounded
+    *     column);
+    *   - ties on the rounded score break on the ascending stratum name.
+    * Returns (pred string, score double); pred is NULL when no stratum
+    * shares a dim (the row the former inner join dropped).
+    */
+  def centroidArgmax(vec: ArrayData, m: StrataCentroids): InternalRow = {
+    val v = vec.toLongArray()
+    var bestScore = 0.0
+    var bestIdx = -1
+    var s = 0
+    while (s < m.names.length) {
+      val c = m.cvecs(s)
+      val p = m.present(s)
+      var dot = 0L
+      var shared = false
+      var d = 0
+      val n = math.min(v.length, c.length)
+      while (d < n) {
+        val x = v(d)
+        if (x != 0L) {
+          dot += x * c(d)
+          if (p(d)) shared = true
+        }
+        d += 1
+      }
+      if (shared) {
+        // Spark's Round(DoubleType, 4): BigDecimal.valueOf(d).setScale —
+        // replicated literally so the rounded score is bit-identical
+        val score = java.math.BigDecimal.valueOf(dot.toDouble / m.sqrtCn2(s))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (bestIdx < 0 || score > bestScore) { bestScore = score; bestIdx = s }
+      }
+      s += 1
+    }
+    if (bestIdx < 0) new GenericInternalRow(Array[Any](null, 0.0))
+    else new GenericInternalRow(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(m.names(bestIdx)),
+      bestScore))
+  }
+
   /** Element accessor selector, resolved once from the schema, not per
     * row (double / float / long element kinds).
     */
@@ -204,6 +272,30 @@ case class CentroidDists(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** centroid_argmax(vec): struct(pred string, score double) — best-scoring
+  * stratum for an integer hashed-embedding vector (see
+  * VectorKernels.centroidArgmax).
+  */
+case class CentroidArgmax(child: Expression,
+    strata: VectorKernels.StrataCentroids) extends UnaryExpression {
+  // both fields nullable so the written parquet schema matches the former
+  // join/round pipeline's optional columns
+  override def dataType: DataType = StructType(Seq(
+    StructField("pred", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true)))
+  override def prettyName: String = "centroid_argmax"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.centroidArgmax(input.asInstanceOf[ArrayData], strata)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("strata", strata,
+      classOf[VectorKernels.StrataCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.centroidArgmax($c, $m);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgmax =
+    copy(child = newChild)
+}
+
 /** Column wrappers for expressions that carry non-literal state (a centroid
   * matrix) and therefore can't go through the SQL function registry.
   */
@@ -214,6 +306,10 @@ object VectorFunctions {
       isFloat: Boolean): Column =
     GraftSqlBridge.column(
       NearestCentroid(GraftSqlBridge.expression(vec), centroids, isFloat))
+
+  def centroidArgmax(vec: Column, strata: VectorKernels.StrataCentroids): Column =
+    GraftSqlBridge.column(
+      CentroidArgmax(GraftSqlBridge.expression(vec), strata))
 
   def centroidDists(vec: Column, centroids: Array[Array[Double]],
       isFloat: Boolean): Column =

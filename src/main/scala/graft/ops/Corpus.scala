@@ -371,28 +371,58 @@ object Corpus {
   def centroidClassify(docs: DataFrame, strataCol: String = "source",
       dims: Int = 256, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val emb = Dedup.hashedEmbeddings(docs, dims, n, idCol, textCol)
-    // both branches (centroids, scores) consume the sparse projection —
-    // cached, the corpus text is read and hashed ONCE (the q11/q12 gram-
-    // index convention; callers release via spark.catalog.clearCache)
-    val sp = emb.select(col("id"), posexplode(col("v")))
-      .toDF("id", "dim", "x").where(col("x") =!= 0).cache()
-    val lab = docs.select(col(idCol).as("id"), col(strataCol).as("s"))
-    val cent = sp.join(lab, "id")
+    // r7 rewrite, semantics UNCHANGED (OpsSpec model + DuckDB mirror pin
+    // them): the former plan exploded every (doc, dim), joined centroids on
+    // `dim` with a ×strata row fan-out (docs·dims·strata rows through an
+    // exchange), re-aggregated by (id, stratum) and ran a window argmax —
+    // four shuffles and the battery's single most expensive plan. Centroids
+    // are a (strata × dims)-BOUNDED aggregate, so they collect to the
+    // driver (the balanceMixture precedent) and ride back into ONE narrow
+    // codegen'd pass (`centroid_argmax`) that computes every stratum's dot,
+    // the shared-dim evidence mask, Spark-Round-exact scores and the
+    // (score desc, name asc) argmax per row — no dim join, no window, and
+    // the only remaining shuffle is the tiny centroid aggregate itself.
+    // The base projection is cached: the centroid aggregate and the scoring
+    // pass both consume it, so text is read and hash-embedded ONCE (the
+    // q11/q12 convention; callers release via spark.catalog.clearCache).
+    val base = docs.select(col(idCol).as("id"), col(strataCol).as("s"),
+        call_function("hash_embed", col(textCol), lit(dims), lit(n)).as("v"))
+      .withColumn("n2", call_function("dot_i64", col("v"), col("v")))
+      .where(col("n2") > 0)
+      .select(col("id"), col("s"), col("v"))
+      .cache()
+    val centRows = base
+      .select(col("s"), posexplode(col("v")).as(Seq("dim", "x")))
+      .where(col("x") =!= 0)
       .groupBy(col("s"), col("dim")).agg(sum(col("x")).as("c"))
-    val cn = cent.groupBy(col("s")).agg(sum(col("c") * col("c")).as("cn2"))
-    val dots = sp.join(broadcast(cent), "dim")
-      .groupBy(col("id"), col("s")).agg(sum(col("x") * col("c")).as("dot"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("score").desc, col("s"))
+      .collect()
+    val byStratum = centRows.groupBy(_.getString(0))
     // a degenerate all-zero centroid (every dim's signs cancel — possible
     // for a tiny stratum) would score 0/√0 = NaN, and NaN orders FIRST in
-    // a descending sort — excluding it keeps the argmax well-defined and
-    // engine-neutral
-    dots.join(broadcast(cn), "s").where(col("cn2") > 0)
-      .withColumn("score", round(col("dot") / sqrt(col("cn2")), 4))
-      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col("id").as(idCol), col("s").as("pred"), col("score"))
+    // a descending sort — excluding it (cn2 > 0, as before) keeps the
+    // argmax well-defined and engine-neutral
+    val strata = byStratum.toSeq
+      .map { case (s, rows) =>
+        val cvec = new Array[Long](dims)
+        val present = new Array[Boolean](dims)
+        var cn2 = 0L
+        rows.foreach { r =>
+          val d = r.getInt(1); val c = r.getLong(2)
+          cvec(d) = c; present(d) = true; cn2 += c * c
+        }
+        (s, cvec, present, cn2)
+      }
+      .filter(_._4 > 0L)
+      .sortBy(_._1)
+    val model = new graft.functions.VectorKernels.StrataCentroids(
+      strata.map(_._1).toArray, strata.map(_._2).toArray,
+      strata.map(_._3).toArray,
+      strata.map(t => math.sqrt(t._4.toDouble)).toArray)
+    base.select(col("id"),
+        graft.functions.VectorFunctions.centroidArgmax(col("v"), model).as("_am"))
+      .where(col("_am.pred").isNotNull)
+      .select(col("id").as(idCol), col("_am.pred").as("pred"),
+        col("_am.score").as("score"))
   }
 
   /** Cross-source n-gram overlap matrix: for every source pair, how many
@@ -411,10 +441,12 @@ object Corpus {
     */
   def sourceOverlap(docs: DataFrame, n: Int = 8,
       strataCol: String = "source", textCol: String = "text"): DataFrame = {
+    // cached (r7): both self-join sides read the distinct (s, h) projection
+    // from storage instead of re-exploding the corpus per side
     val g = docs.select(col(strataCol).as("s"),
         explode(call_function("word_ngrams", col(textCol), lit(n))).as("gram"))
       .select(col("s"), xxhash64(col("gram")).as("h"))
-      .distinct()
+      .distinct().cache()
     g.as("a").join(g.as("b"), col("a.h") === col("b.h") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("source_a"), col("b.s").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -63,15 +63,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
       maxGramDf: Int = Int.MaxValue,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val g = grams(docs, n, idCol, textCol).cache()
-    val sizes = g.groupBy("id").agg(count(lit(1)).as("ng"))
     // every inverted-index exchange moves the 8-byte xxhash64 of the gram,
     // never the gram STRING (~2.5× less shuffle at 3-word grams, far more
     // at larger n; grams are distinct-per-doc so a collision would need
     // two distinct grams of ONE doc colliding — ~grams²/2^64 — and would
     // only perturb one intersection count, which the DuckDB oracle
-    // joining gram text would catch)
-    val gh = g.select(col("id"), xxhash64(col("gram")).as("gh"))
+    // joining gram text would catch). The CACHE sits on the hashed
+    // (id, gh) projection, not the gram strings (r7: caching post-hash
+    // stores 8 bytes/gram instead of the gram text AND saves the explode +
+    // xxhash64 recompute in every consumer branch — sizes, both self-join
+    // sides, the capped-path verify).
+    val gh = grams(docs, n, idCol, textCol)
+      .select(col("id"), xxhash64(col("gram")).as("gh")).cache()
+    val sizes = gh.groupBy("id").agg(count(lit(1)).as("ng"))
     if (maxGramDf == Int.MaxValue) {
       // exact single-join path: intersection counts fall out directly
       val inter = gh.as("a").join(gh.as("b"),
@@ -125,13 +129,19 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"containmentPairs: threshold must be a rational in (0, 1], got $tNum/$tDen")
-    val g = grams(docs, n, idCol, textCol)
-    val gh = g.select(col("id"), xxhash64(col("gram")).as("gh"))
+    // cached hashed projection (r7, the q11 convention): the self-join's two
+    // sides and the sizes aggregate otherwise each re-explode and re-hash
+    // the corpus text
+    val gh = grams(docs, n, idCol, textCol)
+      .select(col("id"), xxhash64(col("gram")).as("gh")).cache()
     val sizes = gh.groupBy("id").agg(count(lit(1)).as("ng"))
+    // inter is cached (r7): the two union orientations below otherwise
+    // each re-execute the self-join + aggregate (pair-count-bounded rows)
     val inter = gh.as("a").join(gh.as("b"),
         col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("inter"))
+      .cache()
     val both = inter
       .select(col("id1").as("contained"), col("id2").as("container"), col("inter"))
       .unionByName(inter
@@ -157,30 +167,21 @@ object Dedup {
     * k-gram positions have no full window and yield no fingerprints
     * (documented contract; lower w or k for very short docs).
     *
-    * Scale: the k-gram hash projection is narrow and scan-side (the
-    * q39 `word_ngrams_all` kernel + the 60-bit engine-neutral hash);
-    * selection is ONE keyed window pass — the only shuffle is the
-    * per-doc sort, and the rightmost-min falls out of a lexicographic
-    * `min(struct(fp, −pos))` frame aggregate, no per-window explode.
+    * Scale (r7): selection runs entirely inside the `winnow_fps` kernel —
+    * one narrow codegen'd pass per document (hash windows, slide, emit
+    * distinct rightmost-min selections), so there is NO shuffle at all
+    * until a caller aggregates; the former shape shuffled every k-gram
+    * span into a per-doc sort just to run the frame-min. The selected
+    * set is identical by construction (selected positions are monotone,
+    * so in-kernel last-position dedup IS the old distinct; ModelCheckSpec
+    * pins kernel == brute-force model).
     */
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, "winnowFingerprints: k and w must be >= 1")
-    import org.apache.spark.sql.expressions.Window
-    val spans = docs.select(col(idCol).as("id"),
-        posexplode(call_function("word_ngrams_all", col(textCol), lit(k)))
-          .as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"),
-        graft.ops.TextAnalysis.tokenHash60(col("gram")).as("fp"))
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    spans
-      .withColumn("_n", count(lit(1)).over(win))
-      .withColumn("_m", min(struct(col("fp"), (-col("pos")).as("np"))).over(win))
-      .where(col("_n") === w)
-      .select(col("id"), (-col("_m.np")).cast("int").as("pos"),
-        col("_m.fp").as("fp"))
-      .distinct()
+    docs.select(col(idCol).as("id"),
+        explode(call_function("winnow_fps", col(textCol), lit(k), lit(w))).as("sel"))
+      .select(col("id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
   }
 
   /** MOSS-style near-dup report over winnowed fingerprints: pairs of docs
@@ -204,17 +205,28 @@ object Dedup {
   /** MinHash signature matrix: for each doc, numHashes minima of
     * (a_k * xxhash64(gram) + b_k) mod p. One explode + one groupBy(id).
     */
-  def minhashSignatures(g: DataFrame, numHashes: Int): DataFrame = {
+  def minhashSignatures(g: DataFrame, numHashes: Int): DataFrame =
+    minhashSignaturesHashed(
+      g.select(col("id"), xxhash64(col("gram")).as("gh")), numHashes)
+
+  /** The same signature matrix over PRE-HASHED grams (id, gh) — the form
+    * `minhashLshPairs` feeds from its cached hashed projection. The base
+    * ring hash `h = gh mod p` is materialized as ONE projected column
+    * before the aggregate (r7): as a shared subtree inside `numHashes`
+    * min-aggregates its CSE is at codegen's discretion, and re-evaluating
+    * xxhash64+pmod 64× per gram row dominated the signature pass.
+    */
+  private def minhashSignaturesHashed(gh: DataFrame, numHashes: Int): DataFrame = {
     // 31-bit Mersenne ring keeps every product inside a 64-bit long under
     // ANSI mode (no silent wrap in Spark 4): h < 2^31, a < 2^8 → a*h+b < 2^40
     val p = 2147483647L // 2^31 - 1
-    val h = pmod(xxhash64(col("gram")), lit(p))
     val mins = (0 until numHashes).map { k =>
       val a = 2L * k + 1
       val b = 40503L * (k + 1)
-      min(pmod(h * a + b, lit(p))).as(s"h$k")
+      min(pmod(col("_h") * a + b, lit(p))).as(s"h$k")
     }
-    g.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    gh.select(col("id"), pmod(col("gh"), lit(p)).as("_h"))
+      .groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   private def pmod(c: Column, m: Column): Column = ((c % m) + m) % m
@@ -228,8 +240,12 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
       bands: Int = 32, rowsPerBand: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val g = grams(docs, n, idCol, textCol).cache()
-    val sig = minhashSignatures(g, bands * rowsPerBand)
+    // cache the HASHED gram projection (r7, same rationale as
+    // ngramJaccardPairs): signatures, sizes and both verify joins all
+    // derive from (id, gh) — the gram strings never need to materialize
+    val gh = grams(docs, n, idCol, textCol)
+      .select(col("id"), xxhash64(col("gram")).as("gh")).cache()
+    val sig = minhashSignaturesHashed(gh, bands * rowsPerBand)
     // band key = hash of that band's signature slice → bucket join
     val banded = sig.select(
       col("id"),
@@ -248,8 +264,7 @@ object Dedup {
     // two-step equi-join on (id, gram-hash) — no cross-product of gram
     // lists, and no gram STRING in any exchange (8-byte xxhash64 keys;
     // same collision note as ngramJaccardPairs)
-    val sizes = g.groupBy("id").agg(count(lit(1)).as("ng"))
-    val gh = g.select(col("id"), xxhash64(col("gram")).as("gh"))
+    val sizes = gh.groupBy("id").agg(count(lit(1)).as("ng"))
     val inter = cand
       .join(gh.toDF("id1", "gh"), "id1")
       .join(gh.toDF("id2", "gh"), Seq("id2", "gh"))
@@ -476,9 +491,13 @@ object Dedup {
     // grams() is already distinct-per-doc, so the hashed streams are too
     // (a within-doc hash collision would need ~2^32 grams in one doc);
     // xxhash64 per the q11/q12 re-key convention — internal join key only,
-    // the oracle joins gram text
+    // the oracle joins gram text. CACHED (r7): the postings feed the join,
+    // the per-doc counts and (capped path / writeGramIndex) the df
+    // aggregate — without the cache each branch re-explodes and re-hashes
+    // the corpus text (q50 paid the explode 2–3×; the session harness
+    // releases via clearCache, the established lifecycle contract).
     val g = grams(corpus, n, idCol, textCol)
-      .select(col("id").as("oid"), xxhash64(col("gram")).as("g"))
+      .select(col("id").as("oid"), xxhash64(col("gram")).as("g")).cache()
     val counts = g.groupBy(col("oid")).agg(count(lit(1)).as("ngB"))
     val df = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
     GramIndex(md5s, g, counts, df, n)
@@ -655,8 +674,11 @@ object Dedup {
     val newHash = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
     val exactSurvivors = newHash.join(idx.md5s, Seq("h"), "left_anti")
       .select(col("id"))
+    // cached (r7): the batch-side hashed grams feed the index join AND the
+    // per-doc count aggregate (plus two joins on the capped path) — one
+    // batch-text explode instead of two
     val gNew = grams(newDocs, idx.n, idCol, textCol)
-      .select(col("id"), xxhash64(col("gram")).as("g"))
+      .select(col("id"), xxhash64(col("gram")).as("g")).cache()
     val gOld = idx.grams
     val nNew = gNew.groupBy(col("id")).agg(count(lit(1)).as("ngA"))
     val nOld = idx.counts
@@ -1038,10 +1060,15 @@ object Dedup {
     */
   def removeDuplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // cached (r7): the duplicated-span set feeds the affected-id semi/anti
+    // joins, the covered-position expansion AND the rebuild — uncached, the
+    // spans⋈dup-fps aggregate re-executed once per consumer branch (the
+    // before-plan shows the subtree 3×). Bounded by duplicated occurrences
+    // (the boilerplate carriers), the same lifecycle contract as `spans`.
     val dup = duplicateSpans(docs, k, minDocs, minOcc = 2, idCol, textCol)
-      .select(col("id"), col("pos"))
+      .select(col("id"), col("pos")).cache()
     val affectedIds = dup.select(col("id")).distinct()
-      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("id", idCol).cache()
     val covered = dup.select(col("id"),
       explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp")).distinct()
     val affected = docs.join(affectedIds, Seq(idCol), "left_semi")

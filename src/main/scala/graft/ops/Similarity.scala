@@ -339,11 +339,16 @@ object Similarity {
     require(sample.nonEmpty, "k-means needs a non-empty sample")
     val k = math.min(nlist, sample.length)
     val rng = new scala.util.Random(seed)
-    // k-means++ seeding
+    // k-means++ seeding with the min-distance array MAINTAINED
+    // incrementally (r7): recomputing min-over-all-centroids per round is
+    // O(n·k²·d) — ~0.7 s of single-threaded driver time at the q15
+    // operating point — while updating against only the newest centroid is
+    // O(n·k·d). The d2 values (and therefore the RNG draw sequence and the
+    // chosen centroids) are IDENTICAL to the recompute-from-scratch form.
     val cents = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     cents += sample(rng.nextInt(sample.length))
+    val d2 = sample.map(p => { val d = l2(p, cents(0)); d * d })
     while (cents.length < k) {
-      val d2 = sample.map(p => cents.map(c => l2(p, c)).min).map(d => d * d)
       val total = d2.sum
       if (total <= 0) cents += sample(rng.nextInt(sample.length))
       else {
@@ -351,6 +356,13 @@ object Similarity {
         var i = 0
         while (i < d2.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
         cents += sample(i)
+      }
+      val latest = cents.last
+      var j = 0
+      while (j < sample.length) {
+        val d = l2(sample(j), latest)
+        if (d * d < d2(j)) d2(j) = d * d
+        j += 1
       }
     }
     // Lloyd

@@ -35,8 +35,11 @@ object TextAnalysis {
 
   /** A small function-word list that exists in the synthetic vocab; the
     * language-ID heuristic is "function-word ratio over threshold".
+    * (Canonical copy lives next to the quality kernel so the two can never
+    * drift — r7.)
     */
-  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "over")
+  val StopWords: Seq[String] =
+    graft.functions.HashingKernels.QualityStopWords.toSeq
 
   def stopwordRatio(text: Column): Column = {
     val w = tokens(text)
@@ -54,8 +57,21 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length, function-word density,
     * mean token length, lexical diversity — each capped and equally
     * weighted, rounded for cross-engine stability.
+    *
+    * r7: one-pass codegen'd kernel (functions.QualityScore) replacing the
+    * interpreted builtin-HOF tree (aggregate/filter/array_distinct per
+    * token) — bit-identical by construction (the kernel replicates the
+    * expression's float-op order and Spark Round semantics; OpsSpec pins
+    * kernel == expression-formula equality).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    call_function("quality_score", text)
+
+  /** The pre-r7 expression form of `qualityScore` — kept as the reference
+    * the kernel-equality test compares against (not used in any query
+    * path).
+    */
+  def qualityScoreExpr(text: Column): Column = {
     val w = tokens(text)
     val n = size(w).cast("double")
     val lenScore = least(lit(1.0), n / 100.0)
@@ -173,8 +189,10 @@ object TextAnalysis {
     */
   def tfIdf(docs: DataFrame, topK: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // cached (r7): tf feeds the df re-aggregate AND the scored join's left
+    // side — one token explode + aggregate instead of two
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")).cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
@@ -249,8 +267,10 @@ object TextAnalysis {
     require(rareNum > 0 && rareDen > 0 && boilNum > 0 && boilDen > 0,
       "gramNovelty: thresholds must be positive rationals")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // cached (r7): the hashed grams feed the df aggregate AND the join-back
+    // probe — one corpus explode instead of two (the q11 convention)
     val gh = Dedup.grams(docs, n, idCol, textCol)
-      .select(col("id"), xxhash64(col("gram")).as("gh"))
+      .select(col("id"), xxhash64(col("gram")).as("gh")).cache()
     val dfs = gh.groupBy("gh").agg(count(lit(1)).as("df"))
     val per = gh.join(dfs, "gh").groupBy("id")
       .agg(count(lit(1)).as("n_grams"), sum(col("df")).as("sum_df"))

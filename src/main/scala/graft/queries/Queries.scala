@@ -320,8 +320,10 @@ object Queries {
     * keys, no window over the whole user history.
     */
   def q34Retention(spark: SparkSession, sfDir: String): DataFrame = {
+    // cached (r7): the grid feeds the activity aggregate AND both self-join
+    // sides — uncached, the events scan + distinct ran 3× (before-plan)
     val ud = table(spark, sfDir, "events")
-      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().cache()
     val act = ud.groupBy(col("d")).agg(count(lit(1)).as("n_active"))
     val ret = ud.as("a")
       .join(ud.as("b"),
@@ -357,9 +359,12 @@ object Queries {
   def q37Funnel(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = table(spark, sfDir, "events")
     def stage(t: String) = ev.where(col("event_type") === t)
-    val v = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    // v and c are cached (r7): each feeds the next stage's join AND its own
+    // final count — uncached, the funnel re-derived every upstream stage
+    // per consumer (12 events scans in the before-plan, 6 after)
+    val v = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("v_ts")).cache()
     val c = stage("click").join(v, "user_id").where(col("ts") > col("v_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts")).cache()
     val p = stage("purchase").join(c, "user_id").where(col("ts") > col("c_ts"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
     v.agg(count(lit(1)).as("n_view"))

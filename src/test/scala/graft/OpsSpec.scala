@@ -412,6 +412,15 @@ class OpsSpec extends SparkSpec {
       legacyTopBigram, "top_bigram_frac kernel")
   }
 
+  test("quality_score native kernel == the builtin-expression formula") {
+    // r7: the one-pass kernel replaced the interpreted HOF tree; any float
+    // drift would silently invalidate the q17/q42/q47/q53/q56 oracles
+    assertSameRows(
+      docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q")),
+      docs.select(col("doc_id"), TextAnalysis.qualityScoreExpr(col("text")).as("q")),
+      "quality_score kernel")
+  }
+
   test("zero-norm / null embeddings are excluded from float cosine paths (no NaN wins)") {
     import spark.implicits._
     val e = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 0f)),

@@ -336,10 +336,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
-  test("q51: centroid classify — centroids broadcast back, no text in any exchange") {
+  test("q51: centroid classify — narrow argmax kernel, no dim-join fan-out, no text in any exchange") {
     val p = plan(Queries.q51CentroidClassify(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(600))
-    assert(p.contains("BroadcastHashJoin"), "centroid/norm joins must broadcast:\n" + p.take(800))
+    // r7: scoring is the one-pass centroid_argmax kernel over the cached
+    // embedding projection — the former dim-join (×strata row fan-out) and
+    // its window argmax are gone from the plan entirely
+    assert(p.contains("centroid_argmax"),
+      "scores must come from the narrow argmax kernel:\n" + p.take(800))
+    assert(!p.contains("row_number"),
+      "no window argmax — the kernel decides per row:\n" + p.take(800))
     val bad = p.linesIterator.exists(l =>
       l.contains("Exchange hashpartitioning") && l.contains("text#"))
     assert(!bad, "no shuffle of document text:\n" + p.take(800))
