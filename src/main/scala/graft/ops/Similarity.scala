@@ -275,14 +275,23 @@ object Similarity {
       .withColumn("cid", explode(filter(cidSeq, j =>
         element_at(col("_cd"), j + 1) <= col("_hd") + lit(twoR))))
       .select(col(idCol).as("_idb"), col(vecCol).as("_vb"), col("cid"))
+    // r7: the recall argument is ORIENTATION-AGNOSTIC — for any qualifying
+    // pair (a, b), d(b, c_a) ≤ d(b, c_b) + 2r, so b's replicas reach a's
+    // home cell for EITHER role assignment. Keeping only the (home id <
+    // replica id) orientation therefore still meets every pair exactly
+    // once (a has one home cell; b contributes one replica row per cell),
+    // which HALVES the verified candidate volume and makes the
+    // dropDuplicates shuffle unnecessary. Output rows are identical: the
+    // join predicate itself enforces the (least, greatest) canonical order,
+    // and the cosine expression is symmetric by fold order (same kernel,
+    // both sides' vectors unchanged). ModelCheckSpec pins == brute force
+    // on clustered and uniform corpora.
     home.join(replicas, "cid")
-      .where(col("_ida") =!= col("_idb"))
+      .where(col("_ida") < col("_idb"))
       .withColumn("cosine",
         dot(col("_va"), col("_vb")) / (norm(col("_va")) * norm(col("_vb"))))
       .where(col("cosine") >= threshold)
-      .select(least(col("_ida"), col("_idb")).as("id1"),
-        greatest(col("_ida"), col("_idb")).as("id2"), col("cosine"))
-      .dropDuplicates("id1", "id2")
+      .select(col("_ida").as("id1"), col("_idb").as("id2"), col("cosine"))
   }
 
   // ------------------------------- IVF -------------------------------
@@ -417,12 +426,30 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel = {
     val (assigned, model) = buildIvfIndex(embs, nlist, idCol = idCol, vecCol = vecCol)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/index")
+    writeModelSidecar(embs.sparkSession, dir, model)
+    model
+  }
+
+  /** Publish the model sidecar through the Hadoop FS API, atomically (r7,
+    * VERDICT r6 #2 / ADVICE): `java.nio` wrote to the DRIVER'S LOCAL disk —
+    * on any non-local filesystem the parquet landed on the cluster FS and
+    * the sidecar did not, bricking `readIvfIndex` — and a truncating
+    * in-place write left a torn-sidecar window `appendIvfIndex`'s
+    * radius-merge crash-safety story explicitly excludes. `writeAtomic`'s
+    * temp + single rename is the repo's established visibility point: a
+    * crash before the rename leaves the previous (valid) sidecar, a crash
+    * after leaves the new (valid) one — a torn sidecar is impossible at
+    * any point.
+    */
+  private def writeModelSidecar(spark: org.apache.spark.sql.SparkSession,
+      dir: String, model: IvfModel): Unit = {
     val json = model.centroids.indices.map { j =>
       s"""{"cid":$j,"radius":${model.radii(j)},"centroid":[${model.centroids(j).mkString(",")}]}"""
     }.mkString("\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "model.json"),
-      json.getBytes("UTF-8"))
-    model
+    val p = new org.apache.hadoop.fs.Path(dir, "model.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    graft.util.FsText.writeAtomicOverwrite(fs, p, json)
   }
 
   /** Append new vectors to a stored IVF index WITHOUT re-training — the
@@ -464,11 +491,9 @@ object Similarity {
       val merged = IvfModel(model.centroids,
         model.radii.indices.map(j =>
           math.max(model.radii(j), grown.getOrElse(j, 0.0))).toArray)
-      val json = merged.centroids.indices.map { j =>
-        s"""{"cid":$j,"radius":${merged.radii(j)},"centroid":[${merged.centroids(j).mkString(",")}]}"""
-      }.mkString("\n")
-      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "model.json"),
-        json.getBytes("UTF-8"))
+      // sidecar FIRST (over-probing is safe, under-probing is not), and
+      // atomically via the Hadoop FS — see writeModelSidecar
+      writeModelSidecar(spark, dir, merged)
       assigned.write.mode("append").partitionBy("cid").parquet(s"$dir/index")
       merged
     } finally { assigned.unpersist(); () }

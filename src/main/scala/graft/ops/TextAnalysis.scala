@@ -189,10 +189,12 @@ object TextAnalysis {
     */
   def tfIdf(docs: DataFrame, topK: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // cached (r7): tf feeds the df re-aggregate AND the scored join's left
-    // side — one token explode + aggregate instead of two
+    // NOT cached (r7, measured): tf's explode + partial agg + exchange is
+    // already shared between its two consumers by ReuseExchange; a cache
+    // only adds a materialization barrier (isolated min-of-3: 1.10 s
+    // uncached vs 1.65 s cached)
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")).cache()
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf

@@ -193,7 +193,11 @@ object Retractions {
     val (ripe, wait) = s.pending.partition(_.tsMs < wm)
     val out = ripe.sortBy(c => (c.tsUs, c.tie))
       .map(c => RowDelta(k, c.tsUs, c.tie, c.del, c.grp, c.v))
-    state.update(RowState(wait))
+    // a fully-drained key REMOVES its state row (r7, ADVICE): unlike
+    // retractStream nothing semantic is retained here — an empty RowState
+    // kept forever grows state by one row per distinct key ever seen,
+    // contradicting the "state is the unripe buffer ONLY" contract
+    if (wait.isEmpty) state.remove() else state.update(RowState(wait))
     if (streaming && wait.nonEmpty)
       state.setTimeoutTimestamp(
         math.max(wait.iterator.map(_.tsMs).min, wm + 1))
@@ -357,7 +361,7 @@ object Retractions {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tieCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val dead = " DEAD"
+    val dead = "\u0000DEAD" // escape, not a raw NUL: keeps grep/diff text-mode (r7)
     // the entity's attribute BEFORE this change: the last preceding
     // upsert's grp, unless a delete intervened (the DEAD sentinel)
     val prevRaw = last(

@@ -81,7 +81,21 @@ object Scd2 {
   private def process(k: String, it: Iterator[Scd2Event],
       state: GroupState[Scd2State], streaming: Boolean): Iterator[Scd2Version] = {
     var s = state.getOption.getOrElse(empty)
-    // late beyond the watermark contract → dropped (append-window rule)
+    // late beyond the watermark contract → dropped (append-window rule).
+    // r7 note (ADVICE item investigated, boundary left as-is): the advice
+    // held that Spark's late filter drops only STRICTLY-below-watermark
+    // rows, so an event at exactly ts == wm could arrive after an
+    // inclusive (<= wm) seal and be lost by the exclusive (> frontier)
+    // admit. Probed empirically on Spark 4.1 (flatMapGroupsWithState,
+    // file source, single-file triggers): once the late-events watermark
+    // catches up, a row at ts == wm is ALREADY dropped by Spark's own
+    // late filter (only wm + 1 ms survives), and during the one-batch
+    // late/eviction watermark lag the sibling lands in the SAME batch as
+    // the seal, where the pending sort orders it correctly. The feared
+    // arrival is therefore unreachable, and the inclusive seal is
+    // equivalent to Retractions' strict one (events at ts == wm just seal
+    // one batch earlier); changing proven oracle-checked semantics on a
+    // false premise would be churn, not a fix.
     it.foreach { e =>
       if (!streaming || e.ts.getTime > s.frontierMs)
         s = s.copy(pending = s.pending :+ Rec(e.ts.getTime, e.tie, e.payload))

@@ -675,11 +675,23 @@ object Queries {
     val dir = s"/tmp/graft-index-$kind-$safe"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_done")
-    if (!fs.exists(marker)) {
+    // r7 (ADVICE): the marker carries a CONTENT fingerprint of the source
+    // tables (file names, lengths, mtimes), not just the path — fixture
+    // parquet regenerated at the same path invalidates the cached index
+    // instead of silently answering q55/q57/q65/q70 from stale postings
+    val fp = {
+      val src = new org.apache.hadoop.fs.Path(sfDir)
+      if (!fs.exists(src)) "none"
+      else fs.listStatus(src).sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .mkString("|")
+    }
+    val fresh = fs.exists(marker) &&
+      scala.util.Try(graft.util.FsText.readText(fs, marker)).toOption.contains(fp)
+    if (!fresh) {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       build(dir)
-      fs.createNewFile(marker)
-      ()
+      graft.util.FsText.writeAtomic(fs, marker, fp)
     }
     dir
   }

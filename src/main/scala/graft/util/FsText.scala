@@ -36,4 +36,21 @@ object FsText {
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"atomic publish failed for $p")
   }
+
+  /** `writeAtomic` for a destination that may already EXIST with different
+    * content (Hadoop's FileSystem.rename refuses an existing destination on
+    * several implementations, local FS included). Falls back to
+    * delete-then-rename: a crash in that gap leaves a MISSING file — a loud
+    * read failure — never a torn or half-old one (r7, the IVF sidecar fix).
+    */
+  def writeAtomicOverwrite(fs: FileSystem, p: Path, text: String): Unit = {
+    val tmp = new Path(p.getParent, s".tmp-${p.getName}")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"atomic publish failed for $p")
+    }
+  }
 }

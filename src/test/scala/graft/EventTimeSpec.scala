@@ -489,6 +489,44 @@ class EventTimeSpec extends SparkSpec {
     assert(cur == Map("u1" -> 4L, "u2" -> 6L, "u3" -> 7L))
   }
 
+  test("rowDeltaStream: fully-drained keys remove their state rows") {
+    // r7 (ADVICE): a key whose buffer fully drains must state.remove() —
+    // an empty RowState retained forever is one state row per key ever seen
+    import spark.implicits._
+    import graft.pipeline.Retractions
+    def mkTs(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    val dir = tmpDir("rowdrain")
+    def writeF(name: String, rs: Seq[(Long, Timestamp, Long, String, String, Long)]): Unit = {
+      val tmp = s"$dir/.tmp-$name"
+      rs.toDF("k", "ts", "event_id", "op", "grp", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    writeF("b1", Seq((1L, mkTs(10), 1L, "U", "g", 5L), (2L, mkTs(12), 2L, "U", "g", 6L)))
+    // far-future heartbeats ripen keys 1 and 2 completely; the last
+    // heartbeat's own event stays pending, so exactly ONE state row remains
+    writeF("b2", Seq((99L, mkTs(100000), 900L, "U", "g", 0L)))
+    writeF("b3", Seq((99L, mkTs(200000), 901L, "U", "g", 0L)))
+    val schema = Seq((1L, mkTs(0), 1L, "U", "g", 1L))
+      .toDF("k", "ts", "event_id", "op", "grp", "v").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ts", "60 seconds")
+    val ev = Retractions.changeEvents(stream, "k", "ts", "event_id", "op", "grp", "v")
+    val q = Retractions.rowDeltaStream(ev).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rowdrain_s").start()
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators.headOption)
+      .lastOption.map(_.numRowsTotal)
+    q.stop()
+    assert(stateRows.contains(1L),
+      s"drained keys must leave no state row (want 1 — the unripe heartbeat), got $stateRows")
+  }
+
   // ---------------- streaming event-transition mining (q63 twin) ----------------
 
   test("transition mining: streaming == batch; out-of-order + micro ties + redelivery") {
