@@ -373,18 +373,23 @@ object Dedup {
     import spark.implicits._
     val undirected = pairs.select(col(id1Col).cast("long").as("src"),
       col(id2Col).cast("long").as("dst")).distinct().cache()
-    val nEdges = undirected.count()
-    if (nEdges <= driverMaxEdges) {
+    // ONE action decides the branch (r7): collecting through limit(cap+1)
+    // is bounded exactly like the old count() gate (≤ cap+1 rows reach the
+    // driver) but skips the separate count job over the heavy pairs
+    // pipeline — on the driver path the collected rows ARE the edges.
+    val capPlusOne = (math.min(driverMaxEdges, Int.MaxValue - 2L) + 1L).toInt
+    val probe = undirected.limit(capPlusOne).collect()
+    if (probe.length <= driverMaxEdges) {
       // Near-dup graphs are SPARSE relative to the corpus (LSH emits ~1% of
       // pairs); below the cap a driver union-find closes components in one
       // collect + one linear pass — no per-iteration Spark jobs. The collect
       // is bounded by `driverMaxEdges` (~80 MB at the default), the same
-      // bounded-by-construction class as the k-means sample. The count above
-      // materializes the cache, so this collect and everything after it are
-      // cache reads — vertex ids derive from the SAME collected array (one
-      // fewer Spark job than a distinct-union of endpoints; r3 flagged the
-      // operator's battery cost, so every job here must earn its keep).
-      val edgeArr = undirected.collect()
+      // bounded-by-construction class as the k-means sample. The probe
+      // collected the FULL edge set (its limit was above the cap), so no
+      // second job runs — vertex ids derive from the SAME collected array
+      // (r3 flagged the operator's battery cost, so every job here must
+      // earn its keep).
+      val edgeArr = probe
       undirected.unpersist()
       val parent = scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
