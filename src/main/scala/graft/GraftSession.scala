@@ -29,6 +29,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // same join-strategy stance as local() — see the comment there
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -56,6 +58,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let the planner choose shuffled-hash join when its size conditions
+      // are met (guide §3.1/§9): skips the per-partition sorts of
+      // sort-merge; parallelism-independent (a per-partition strategy, with
+      // the planner's build-side size guard + AQE). A/B at sf0.1 (min-of-4,
+      // same window): q11 1.38→1.34, q22 2.31→2.25, q60 1.67→1.56.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(

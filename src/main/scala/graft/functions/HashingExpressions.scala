@@ -42,6 +42,26 @@ object HashingKernels {
     new String(out)
   }
 
+  /** The 60-bit md5 fingerprint — `parseLong(md5hex(s).substring(0, 15), 16)`
+    * (TextAnalysis.tokenHash60 semantics) computed straight from the digest
+    * bytes: the first 15 hex chars are the top 60 bits of the big-endian
+    * first 8 digest bytes, so the value is `be >>> 4` — no 32-char hex
+    * string, no substring, no radix parse. Provably identical (15 nibbles
+    * read most-significant-first either way; OpsSpec pins equality on
+    * random strings). This sits in the per-token/per-window inner loop of
+    * simhash60 / fingerprint31 / winnow_fps / span_fps.
+    */
+  def md5fp60(s: String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val be = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be >>> 4
+  }
+
   /** dims-long signed n-gram count vector: for each DISTINCT word n-gram g,
     * dim = first 8 md5-hex chars of g as uint mod dims, sign = parity of the
     * 9th hex char. One pass per document — no explode, no shuffle.
@@ -58,9 +78,18 @@ object HashingKernels {
         while (k < n) { sb.append(' ').append(w(i + k)); k += 1 }
         val g = sb.toString
         if (seen.add(g)) {
-          val h = md5hex(g)
-          val dim = (java.lang.Long.parseLong(h.substring(0, 8), 16) % dims).toInt
-          val sign = if ((Character.digit(h.charAt(8), 16) & 1) == 0) 1L else -1L
+          // digest-bytes fast path (r7b, the md5fp60 move): the first 8 hex
+          // chars are digest bytes 0–3 big-endian (unsigned), the 9th hex
+          // char is the high nibble of byte 4 — identical dim/sign to the
+          // hex-string parse this replaces (OpsSpec pins hash_embed
+          // determinism; the q22/q51 oracles pin the values end-to-end)
+          val md = mdLocal.get()
+          md.reset()
+          val d = md.digest(g.getBytes("UTF-8"))
+          val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val dim = (u32 % dims).toInt
+          val sign = if (((d(4) >> 4) & 1) == 0) 1L else -1L
           v(dim) += sign
         }
         i += 1
@@ -266,7 +295,7 @@ object HashingKernels {
       val sb = new java.lang.StringBuilder(wd(i))
       var j = 1
       while (j < k) { sb.append(' ').append(wd(i + j)); j += 1 }
-      fps(i) = java.lang.Long.parseLong(md5hex(sb.toString).substring(0, 15), 16)
+      fps(i) = md5fp60(sb.toString)
       i += 1
     }
     val out = new scala.collection.mutable.ArrayBuffer[Any](2 * m / (w + 1) + 4)
@@ -286,6 +315,130 @@ object HashingKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-window 60-bit span fingerprints in ONE pass per document (r7b):
+    * fp(i) = the engine-neutral md5 hash (TextAnalysis.tokenHash60
+    * semantics) of the k-token window at offset i — exactly the values the
+    * former `posexplode(word_ngrams_all) → tokenHash60(gram)` pipeline
+    * produced, without materializing a window STRING row per position:
+    * the window text lives only inside this kernel, the explode moves
+    * 8-byte longs, and the md5 goes straight from digest bytes to the
+    * 60-bit value (md5fp60). Array index = token offset, so
+    * `posexplode` reproduces the old (pos, fp) rows bit-for-bit
+    * (OpsSpec pins kernel == expression-pipeline equality).
+    */
+  def spanFps(text: UTF8String, k: Int): ArrayData = {
+    val w = text.toString.split(" ", -1)
+    if (w.length < k) return new GenericArrayData(Array.empty[Long])
+    val m = w.length - k + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(w(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(w(i + j)); j += 1 }
+      out(i) = md5fp60(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Rebuild a document with every k-window at the given start offsets
+    * excised (r7b — the q54 rebuild stage): a token at position t survives
+    * iff NO start s in `starts` covers it (s ≤ t ≤ s+k−1); survivors join
+    * with single spaces. Replicates the former explode-tokens →
+    * covered-(id,tp) anti-join → array_sort(collect_list) aggregate
+    * BIT-FOR-BIT (same token order, same " " join, "" when fully covered)
+    * while moving only (id, starts-array) through the shuffle — the
+    * affected docs' token stream never explodes into rows (OpsSpec pins
+    * kernel == pipeline equality).
+    */
+  def removeSpans(text: UTF8String, startsIn: ArrayData, k: Int): UTF8String = {
+    val w = text.toString.split(" ", -1)
+    val starts = startsIn.toIntArray()
+    java.util.Arrays.sort(starts)
+    val sb = new java.lang.StringBuilder
+    var si = 0
+    var coveredUntil = -1 // highest token index covered so far
+    var t = 0
+    while (t < w.length) {
+      while (si < starts.length && starts(si) <= t) {
+        val hi = starts(si) + k - 1
+        if (hi > coveredUntil) coveredUntil = hi
+        si += 1
+      }
+      if (t > coveredUntil) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(w(t))
+      }
+      t += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** MinHash LSH band keys in ONE pass per document (r7b): the
+    * `minhashSignatures` → band-slice → `xxhash64(slice)` pipeline
+    * collapsed into a narrow kernel. Replicates the expression algebra
+    * BIT-FOR-BIT:
+    *   - gram hash gh = Spark `xxhash64(gram)` = XXH64.hashUTF8String(g, 42)
+    *     over the DISTINCT word n-grams (grams() semantics);
+    *   - ring hash h = pmod(gh, p), p = 2³¹−1;
+    *   - signature k = min over grams of pmod(h·(2k+1) + 40503·(k+1), p);
+    *   - band key b = Spark `xxhash64(h_{b·r}, …, h_{b·r+r−1})` = the
+    *     seed-chained XXH64.hashLong fold starting at 42.
+    * Replaces the cached-gram-projection → 64-min hash aggregate (one
+    * exchange + agg machinery over every gram row) with per-doc local
+    * arithmetic — the identical integers come out, so the candidate set
+    * and everything downstream is unchanged (OpsSpec pins kernel ==
+    * aggregate-pipeline equality). Docs with no n-gram (fewer than n
+    * tokens) return an EMPTY array, matching the aggregate form where a
+    * doc with no gram rows has no signature row at all.
+    */
+  def minhashBandKeys(text: UTF8String, n: Int, bands: Int,
+      rowsPerBand: Int): ArrayData = {
+    val p = 2147483647L // 2^31 - 1
+    val numHashes = bands * rowsPerBand
+    val w = text.toString.split(" ", -1)
+    if (w.length < n) return new GenericArrayData(Array.empty[Long])
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val seen = new java.util.HashSet[String]((w.length * 2) max 16)
+    var i = 0
+    while (i <= w.length - n) {
+      val sb = new java.lang.StringBuilder(w(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(w(i + j)); j += 1 }
+      val g = sb.toString
+      if (seen.add(g)) {
+        val gh = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(UTF8String.fromString(g), 42L)
+        val h = ((gh % p) + p) % p
+        var k = 0
+        while (k < numHashes) {
+          val a = 2L * k + 1
+          val b = 40503L * (k + 1)
+          val v = (((h * a + b) % p) + p) % p
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val keys = new Array[Long](bands)
+    var bnd = 0
+    while (bnd < bands) {
+      var key = 42L
+      var r = 0
+      while (r < rowsPerBand) {
+        key = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(mins(bnd * rowsPerBand + r), key)
+        r += 1
+      }
+      keys(bnd) = key
+      bnd += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   /** 60-bit unweighted SimHash over md5 token hashes in ONE pass per
     * document — replaces the explode + 60-conditional-sum aggregate shape
     * (2M shuffled rows and a wide groupBy at sf0.1) with a narrow codegen'd
@@ -299,7 +452,7 @@ object HashingKernels {
     val counts = new Array[Int](60)
     var i = 0
     while (i < w.length) {
-      val h = java.lang.Long.parseLong(md5hex(w(i)).substring(0, 15), 16)
+      val h = md5fp60(w(i))
       var b = 0
       while (b < 60) {
         counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
@@ -324,7 +477,7 @@ object HashingKernels {
     var acc = 0L
     var i = 0
     while (i < w.length) {
-      val h = java.lang.Long.parseLong(md5hex(w(i)).substring(0, 15), 16) % p
+      val h = md5fp60(w(i)) % p
       acc = (acc * 1000003L + h) % p
       i += 1
     }
@@ -477,6 +630,57 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** span_fps(text, k): per-window 60-bit md5 span fingerprints as
+  * array<long> (index = token offset) — see HashingKernels.spanFps.
+  */
+case class SpanFps(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "span_fps: k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_fps"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.spanFps(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.spanFps($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): SpanFps =
+    copy(child = newChild)
+}
+
+/** remove_spans(text, starts, k): the document with every k-token window
+  * starting at `starts` excised — see HashingKernels.removeSpans.
+  */
+case class RemoveSpans(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1, "remove_spans: k must be >= 1")
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "remove_spans"
+  override protected def nullSafeEval(text: Any, starts: Any): Any =
+    HashingKernels.removeSpans(text.asInstanceOf[UTF8String],
+      starts.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.functions.HashingKernels.removeSpans($t, $s, $k);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RemoveSpans = copy(left = newLeft, right = newRight)
+}
+
+/** minhash_band_keys(text, n, bands, rowsPerBand): per-doc MinHash LSH band
+  * keys as array<long> (index = band) — see HashingKernels.minhashBandKeys.
+  */
+case class MinhashBandKeys(child: Expression, n: Int, bands: Int,
+    rowsPerBand: Int) extends UnaryExpression {
+  require(n >= 1 && bands >= 1 && rowsPerBand >= 1, "minhash_band_keys: bad params")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    HashingKernels.minhashBandKeys(input.asInstanceOf[UTF8String], n, bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashingKernels.minhashBandKeys($c, $n, $bands, $rowsPerBand);")
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
+    copy(child = newChild)
+}
+
 /** quality_score(text): one-pass composite quality score (see
   * HashingKernels.qualityScore).
   */
@@ -615,7 +819,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => Fingerprint31(args.head)),
     (new FunctionIdentifier("top_bigram_frac"),
       new ExpressionInfo(classOf[TopBigramFrac].getName, "top_bigram_frac"),
-      (args: Seq[Expression]) => TopBigramFrac(args.head))
+      (args: Seq[Expression]) => TopBigramFrac(args.head)),
+    (new FunctionIdentifier("span_fps"),
+      new ExpressionInfo(classOf[SpanFps].getName, "span_fps"),
+      (args: Seq[Expression]) => SpanFps(args.head, intLit(args(1), "k"))),
+    (new FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(classOf[MinhashBandKeys].getName, "minhash_band_keys"),
+      (args: Seq[Expression]) => MinhashBandKeys(args.head, intLit(args(1), "n"),
+        intLit(args(2), "bands"), intLit(args(3), "rowsPerBand"))),
+    (new FunctionIdentifier("remove_spans"),
+      new ExpressionInfo(classOf[RemoveSpans].getName, "remove_spans"),
+      (args: Seq[Expression]) => RemoveSpans(args.head, args(1), intLit(args(2), "k")))
   )
 
   /** Imperative registration for an existing session (idempotent). */

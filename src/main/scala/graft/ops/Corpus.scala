@@ -441,14 +441,28 @@ object Corpus {
     */
   def sourceOverlap(docs: DataFrame, n: Int = 8,
       strataCol: String = "source", textCol: String = "text"): DataFrame = {
-    // cached (r7): both self-join sides read the distinct (s, h) projection
-    // from storage instead of re-exploding the corpus per side
+    // r7b (one exchange, no self-join): aggregate each gram's DISTINCT
+    // source set (collect_set dedups, so the former (s, h)-distinct
+    // exchange is subsumed), then expand the ordered source pairs
+    // NARROWLY per gram and count. Identical output: a (a, b) row per
+    // gram with a < b both present ⟺ the old self-join row; counts are
+    // distinct-shared-gram counts either way. The set is bounded by the
+    // strata domain (sources), so per-gram state is tiny at any corpus
+    // size — one shuffle on the 8-byte gram hash replaces the old
+    // distinct exchange + both self-join exchanges. array_sort on
+    // strings uses the same binary ordering as the old a.s < b.s
+    // predicate.
     val g = docs.select(col(strataCol).as("s"),
         explode(call_function("word_ngrams", col(textCol), lit(n))).as("gram"))
       .select(col("s"), xxhash64(col("gram")).as("h"))
-      .distinct().cache()
-    g.as("a").join(g.as("b"), col("a.h") === col("b.h") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("source_a"), col("b.s").as("source_b"))
+    val perGram = g.groupBy(col("h")).agg(collect_set(col("s")).as("ss"))
+    val sorted = array_sort(col("ss"))
+    val pairs = flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)),
+        y => struct(x.as("a"), y.as("b")))))
+    perGram.where(size(col("ss")) >= 2)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
 }

@@ -135,21 +135,32 @@ object Dedup {
     val gh = grams(docs, n, idCol, textCol)
       .select(col("id"), xxhash64(col("gram")).as("gh")).cache()
     val sizes = gh.groupBy("id").agg(count(lit(1)).as("ng"))
-    // inter is NOT cached (r7, measured): ReuseExchange already shares the
-    // self-join's exchange between the two union orientations, and a cache
-    // only added a materialization barrier (2.16 s → 2.31 s)
     val inter = gh.as("a").join(gh.as("b"),
         col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("inter"))
-    val both = inter
-      .select(col("id1").as("contained"), col("id2").as("container"), col("inter"))
-      .unionByName(inter
-        .select(col("id2").as("contained"), col("id1").as("container"), col("inter")))
-    both.join(sizes.toDF("contained", "ng"), "contained")
-      .where(col("inter") * lit(tDen) >= lit(tNum) * col("ng"))
-      .select(col("contained"), col("container"),
-        round(col("inter") / col("ng"), 4).as("containment"))
+    // r7b: BOTH orientations emit from ONE pass over the intersection
+    // table. The former union-of-two-projections shape shared the
+    // self-join EXCHANGE between its branches but re-ran the final
+    // (id1, id2) aggregate and the sizes join once per orientation
+    // (BenchExtra: the duplicated tail cost ~0.9 s of q60's 2.4 s at
+    // sf0.1); joining both sizes once and exploding the qualifying
+    // orientations narrowly computes the aggregate exactly once. Output
+    // rows are identical: same exact-integer threshold per orientation,
+    // same rounded ratio, row order immaterial under the gate's canonical
+    // sort.
+    val j = inter
+      .join(sizes.toDF("id1", "ng1"), "id1")
+      .join(sizes.toDF("id2", "ng2"), "id2")
+    val orient = array(
+      struct(col("id1").as("contained"), col("id2").as("container"),
+        (col("inter") * lit(tDen) >= lit(tNum) * col("ng1")).as("ok"),
+        round(col("inter") / col("ng1"), 4).as("containment")),
+      struct(col("id2").as("contained"), col("id1").as("container"),
+        (col("inter") * lit(tDen) >= lit(tNum) * col("ng2")).as("ok"),
+        round(col("inter") / col("ng2"), 4).as("containment")))
+    j.select(explode(filter(orient, s => s.getField("ok"))).as("r"))
+      .select(col("r.contained"), col("r.container"), col("r.containment"))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
@@ -241,20 +252,20 @@ object Dedup {
       bands: Int = 32, rowsPerBand: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // cache the HASHED gram projection (r7, same rationale as
-    // ngramJaccardPairs): signatures, sizes and both verify joins all
-    // derive from (id, gh) — the gram strings never need to materialize
+    // ngramJaccardPairs): sizes and both verify joins derive from (id, gh)
+    // — the gram strings never need to materialize
     val gh = grams(docs, n, idCol, textCol)
       .select(col("id"), xxhash64(col("gram")).as("gh")).cache()
-    val sig = minhashSignaturesHashed(gh, bands * rowsPerBand)
-    // band key = hash of that band's signature slice → bucket join
-    val banded = sig.select(
-      col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-            .as("sig"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.sig"))
+    // band keys in ONE narrow kernel pass per doc (r7b): the former shape
+    // fed a 64-min hash AGGREGATE over every cached gram row (one exchange
+    // + agg machinery) just to slice and re-hash the signature; the kernel
+    // computes the identical integers doc-locally (OpsSpec pins kernel ==
+    // aggregate pipeline), so candidate generation has NO shuffle before
+    // the band-bucket join itself
+    val banded = docs.select(col(idCol).as("id"),
+        posexplode(call_function("minhash_band_keys", col(textCol), lit(n),
+          lit(bands), lit(rowsPerBand))))
+      .toDF("id", "band", "sig")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
@@ -1036,11 +1047,13 @@ object Dedup {
     // the dominant cost) feeds both the occurrence count and the join-back
     // probe side; without the cache the corpus is scanned and hashed twice
     // (same lifecycle contract as the other pairwise operators here — the
-    // session harness releases it with clearCache)
+    // session harness releases it with clearCache). r7b: the window hash
+    // runs inside the one-pass `span_fps` kernel (the winnow_fps move) —
+    // same tokenHash60 values by construction (OpsSpec pins it), but the
+    // window STRINGS never materialize as rows: the explode and the cache
+    // carry (id, pos, 8-byte fp) only.
     val spans = docs.select(col(idCol).as("id"),
-        posexplode(call_function("word_ngrams_all", col(textCol), lit(k))).as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"),
-        graft.ops.TextAnalysis.tokenHash60(col("gram")).as("fp"))
+        posexplode(call_function("span_fps", col(textCol), lit(k))).as(Seq("pos", "fp")))
       .cache()
     val dup = spans.groupBy(col("fp"))
       .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
@@ -1065,30 +1078,24 @@ object Dedup {
     */
   def removeDuplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // cached (r7): the duplicated-span set feeds the affected-id semi/anti
-    // joins, the covered-position expansion AND the rebuild — uncached, the
-    // spans⋈dup-fps aggregate re-executed once per consumer branch (the
-    // before-plan shows the subtree 3×). Bounded by duplicated occurrences
-    // (the boilerplate carriers), the same lifecycle contract as `spans`.
-    val dup = duplicateSpans(docs, k, minDocs, minOcc = 2, idCol, textCol)
-      .select(col("id"), col("pos")).cache()
-    val affectedIds = dup.select(col("id")).distinct()
-      .withColumnRenamed("id", idCol).cache()
-    val covered = dup.select(col("id"),
-      explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp")).distinct()
-    val affected = docs.join(affectedIds, Seq(idCol), "left_semi")
-    val toks = affected.select(col(idCol).as("id"),
-      posexplode(graft.ops.TextAnalysis.tokens(col(textCol))).as(Seq("tp", "tok")))
-    val rebuilt = toks.join(covered, Seq("id", "tp"), "left_anti")
-      .groupBy(col("id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
-          s => s.getField("tok")), " ").as("_ntext"))
-      .withColumnRenamed("id", idCol)
-    val affectedOut = affected.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left") // fully-covered docs → no row → ""
-      .select(col(idCol), coalesce(col("_ntext"), lit("")).as(textCol))
-    docs.join(affectedIds, Seq(idCol), "left_anti")
+    // r7b: the rebuild is ONE narrow kernel over (text, span-start set) —
+    // the former shape exploded every affected doc's tokens into rows,
+    // anti-joined the k-expanded covered positions and re-assembled with a
+    // per-doc sort aggregate (three exchanges of token/position rows). Per
+    // affected doc the duplicated START set is collected once (bounded by
+    // its span occurrences) and `remove_spans` excises covered tokens
+    // in-place, reproducing the old pipeline bit-for-bit (OpsSpec pins
+    // kernel == pipeline, including the fully-covered → "" case). The
+    // cov table is CACHED: it feeds the inner (affected) join and the
+    // untouched anti-join branch — same lifecycle contract as `spans`.
+    val cov = duplicateSpans(docs, k, minDocs, minOcc = 2, idCol, textCol)
+      .groupBy(col("id").as(idCol))
+      .agg(collect_set(col("pos")).as("_starts"))
+      .cache()
+    val affectedOut = docs.join(cov, Seq(idCol))
+      .select(col(idCol),
+        call_function("remove_spans", col(textCol), col("_starts"), lit(k)).as(textCol))
+    docs.join(cov, Seq(idCol), "left_anti")
       .select(col(idCol), col(textCol))
       .unionByName(affectedOut)
   }

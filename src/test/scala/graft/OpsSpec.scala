@@ -421,6 +421,42 @@ class OpsSpec extends SparkSpec {
       "quality_score kernel")
   }
 
+  test("span_fps / minhash_band_keys kernels == the expression pipelines they replaced") {
+    // r7b: any drift would silently move the q39/q54 span sets or the
+    // q12/q26/q47 candidate sets away from their DuckDB mirrors
+    val legacySpans = docs.select(col("doc_id").as("id"),
+        posexplode(call_function("word_ngrams_all", col("text"), lit(8))).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), TextAnalysis.tokenHash60(col("gram")).as("fp"))
+    val kernelSpans = docs.select(col("doc_id").as("id"),
+        posexplode(call_function("span_fps", col("text"), lit(8))).as(Seq("pos", "fp")))
+    assertSameRows(kernelSpans, legacySpans, "span_fps kernel")
+    val bands = 32
+    val rowsPerBand = 2
+    val sig = Dedup.minhashSignatures(Dedup.grams(docs, 3), bands * rowsPerBand)
+    val legacyBanded = sig.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+              .as("sig"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val kernelBanded = docs.select(col("doc_id").as("id"),
+        posexplode(call_function("minhash_band_keys", col("text"), lit(3),
+          lit(bands), lit(rowsPerBand))))
+      .toDF("id", "band", "sig")
+    assertSameRows(kernelBanded, legacyBanded, "minhash_band_keys kernel")
+    // md5fp60's digest-bytes fast path == the hex-string parse it replaced
+    val rng = new scala.util.Random(7)
+    val strs = Seq("", "a", "hello world", "Δ unicode ✓ λ", "the a of and to") ++
+      (1 to 200).map(_ => rng.alphanumeric.take(rng.nextInt(40)).mkString(" "))
+    strs.foreach { s =>
+      assert(graft.functions.HashingKernels.md5fp60(s) ==
+        java.lang.Long.parseLong(
+          graft.functions.HashingKernels.md5hex(s).substring(0, 15), 16),
+        s"md5fp60 mismatch on ${s.take(30)}")
+    }
+  }
+
   test("zero-norm / null embeddings are excluded from float cosine paths (no NaN wins)") {
     import spark.implicits._
     val e = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 0f)),
