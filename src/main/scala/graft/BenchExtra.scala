@@ -34,6 +34,15 @@ object BenchExtra {
           "lsh_band_keys", col("v"), lit(105), lit(12))))),
       "q22_cand" -> (() => ops.Dedup.signLshCandidates(
         ops.Dedup.hashedEmbeddings(docs).cache(), bands = 105, bitsPerBand = 12)),
+      "q22_cand_nodistinct" -> (() => {
+        val keys = ops.Dedup.hashedEmbeddings(docs).select(col("id"),
+            posexplode(call_function("lsh_band_keys", col("v"), lit(105), lit(12))))
+          .toDF("id", "band", "key")
+        keys.as("x").join(keys.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      }),
       "q22_full" -> (() => queries.Queries.q22EmbDedup(spark, sfDir)),
       // ---- q54 decomposition ----
       "q54_dupspans" -> (() => ops.Dedup.duplicateSpans(docs, k = 8, minDocs = 2)),
@@ -41,6 +50,28 @@ object BenchExtra {
       "q54_full" -> (() => queries.Queries.q54SpanRemoval(spark, sfDir)),
       // ---- q59 decomposition ----
       "q59_pairs" -> (() => ops.Similarity.cosineSelfJoin(embs, threshold = 0.40, nlist = 16)),
+      "q59_join_noverify" -> (() => {
+        // the home×replica join WITHOUT the cosine verify: isolates
+        // candidate volume cost from the per-pair dot products
+        val clean = embs.where(col("embedding").isNotNull &&
+          ops.Similarity.norm(col("embedding")) > 0)
+        val cents = ops.Similarity.kmeansCentroids(clean, 16)
+        val twoR = 2.0 * math.sqrt(math.max(0.0, 2.0 - 2.0 * 0.40))
+        val cidSeq = sequence(lit(0), lit(cents.length - 1))
+        val assigned = clean.select(col("vec_id"), col("embedding"))
+          .withColumn("_cd", graft.functions.VectorFunctions.centroidDists(
+            col("embedding"), cents, isFloat = true))
+          .withColumn("_hd", array_min(col("_cd")))
+        val home = assigned
+          .withColumn("cid", (array_position(col("_cd"), col("_hd")) - 1).cast("int"))
+          .select(col("vec_id").as("_ida"), col("cid"))
+        val replicas = assigned
+          .withColumn("cid", explode(filter(cidSeq, j =>
+            element_at(col("_cd"), j + 1) <= col("_hd") + lit(twoR))))
+          .select(col("vec_id").as("_idb"), col("cid"))
+        home.join(replicas, "cid").where(col("_ida") < col("_idb"))
+          .select(col("_ida"), col("_idb"))
+      }),
       "q59_full" -> (() => queries.Queries.q59SemanticDedup(spark, sfDir)),
       // ---- q60 decomposition ----
       "q60_inter" -> (() => {
@@ -56,7 +87,21 @@ object BenchExtra {
       // ---- q55/q70 persisted-index probes ----
       "q55_full" -> (() => queries.Queries.q55IncrementalIndexed(spark, sfDir)),
       "q70_full" -> (() => queries.Queries.q70KnnPersisted(spark, sfDir)),
-      "q73_full" -> (() => queries.Queries.q73LeakSafeSplit(spark, sfDir))
+      "q73_full" -> (() => queries.Queries.q73LeakSafeSplit(spark, sfDir)),
+      // ---- q34 shape A/B (same-window): lead-window vs legacy self-join ----
+      "q34_lead" -> (() => queries.Queries.q34Retention(spark, sfDir)),
+      "q34_selfjoin" -> (() => {
+        val ud = queries.Queries.table(spark, sfDir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct().cache()
+        val act = ud.groupBy(col("d")).agg(count(lit(1)).as("n_active"))
+        val ret = ud.as("a").join(ud.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("b.d") === date_add(col("a.d"), 1))
+          .groupBy(col("a.d").as("d")).agg(count(lit(1)).as("n_retained"))
+        act.join(ret, Seq("d"), "left")
+          .select(col("d"), col("n_active"),
+            coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      })
     )
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()

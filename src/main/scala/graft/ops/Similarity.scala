@@ -45,10 +45,15 @@ object Similarity {
     val q = array(query.map(x => lit(x.toDouble)): _*)
     val qn = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
     require(qn > 0.0, "query vector has zero norm — cosine is undefined")
-    embs.where(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
+    // one norm-kernel evaluation per row (r7b): the filter and the score
+    // previously each ran it (separate operators — codegen does not CSE
+    // across the filter/project boundary); identical value either way
+    embs.where(col(vecCol).isNotNull)
+      .withColumn("_n", norm(col(vecCol)))
+      .where(col("_n") > 0)
       .select(
         col(idCol),
-        (dot(col(vecCol), q) / (norm(col(vecCol)) * lit(qn))).as("cosine"))
+        (dot(col(vecCol), q) / (col("_n") * lit(qn))).as("cosine"))
   }
 
   /** Brute-force cosine top-k for one query vector (excludes exact id match
@@ -91,13 +96,18 @@ object Similarity {
       pairFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    // norms computed once per corpus row / per probe (r7b) — the scoring
+    // previously re-ran both norm kernels per (corpus, probe) PAIR, i.e.
+    // |Q| times per corpus row; identical values by construction (same
+    // kernel, same vector, same product expression)
     corpus.where(col(vecCol).isNotNull && norm(col(vecCol)) > 0)
+      .withColumn("_cn", norm(col(vecCol)))
       .crossJoin(broadcast(
-        queries.where(col(qvecCol).isNotNull && norm(col(qvecCol)) > 0)))
+        queries.where(col(qvecCol).isNotNull && norm(col(qvecCol)) > 0)
+          .withColumn("_qn", norm(col(qvecCol)))))
       .where(col(idCol) =!= col(qidCol) && pairFilter)
       .withColumn("cosine",
-        dot(col(vecCol), col(qvecCol)) /
-          (norm(col(vecCol)) * norm(col(qvecCol))))
+        dot(col(vecCol), col(qvecCol)) / (col("_cn") * col("_qn")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col(qidCol), col(idCol), round(col("cosine"), 4).as("cosine"), col("rk"))
@@ -178,7 +188,11 @@ object Similarity {
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && nProbe >= 1, "knnJoinBucketed: bad params")
-    val index = indexIn.select(col(idCol), col(vecCol), col("cid")).persist()
+    // index-side norms computed once per row into the persisted probe table
+    // (r7b — the cosineSelfJoin move): both candidate phases previously
+    // re-ran the norm kernel per (candidate, probe) pair
+    val index = indexIn.select(col(idCol), col(vecCol), col("cid"))
+      .withColumn("_inrm", norm(col(vecCol))).persist()
     val nP = math.min(nProbe, model.nlist)
     val isFloatQ = isFloatVec(queries, qvecCol)
 
@@ -186,6 +200,7 @@ object Similarity {
     val cidSeq = sequence(lit(0), lit(model.nlist - 1))
     val qd = queries
       .where(col(qvecCol).isNotNull && norm(col(qvecCol)) > 0)
+      .withColumn("_qnrm", norm(col(qvecCol)))
       .withColumn("_cd", graft.functions.VectorFunctions.centroidDists(
         col(qvecCol), model.centroids, isFloatQ))
       .withColumn("_probed", transform(
@@ -197,8 +212,7 @@ object Similarity {
     def cosineTo(candidates: DataFrame): DataFrame = candidates
       .where(col(idCol) =!= col(qidCol))
       .withColumn("cosine",
-        dot(col(vecCol), col(qvecCol)) /
-          (norm(col(vecCol)) * norm(col(qvecCol))))
+        dot(col(vecCol), col(qvecCol)) / (col("_inrm") * col("_qnrm")))
       .select(col(qidCol), col(idCol), col("cosine"))
 
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
@@ -207,7 +221,8 @@ object Similarity {
     // + cosine re-run (same lifecycle contract as the other cached
     // intermediates here: the session harness releases via clearCache)
     val cand1 = cosineTo(
-      qd.select(col(qidCol), col(qvecCol), explode(col("_probed")).as("cid"))
+      qd.select(col(qidCol), col(qvecCol), col("_qnrm"),
+          explode(col("_probed")).as("cid"))
         .join(index, "cid")).persist()
     // δ_q = kth-best cosine among the probed buckets (UNROUNDED), and how
     // many candidates they actually held — both per probe, one aggregation
@@ -226,7 +241,8 @@ object Similarity {
         !array_contains(col("_probed"), j) &&
           element_at(col("_cd"), j + 1) - element_at(radii, j + 1) <= col("_dRad")))
     val cand2 = cosineTo(
-      expanded.select(col(qidCol), col(qvecCol), explode(col("_exp")).as("cid"))
+      expanded.select(col(qidCol), col(qvecCol), col("_qnrm"),
+          explode(col("_exp")).as("cid"))
         .join(index, "cid"))
     cand1.unionByName(cand2)
       .withColumn("rk", row_number().over(w))
@@ -264,17 +280,26 @@ object Similarity {
     val isF = isFloatVec(embs, vecCol)
     val twoR = 2.0 * math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
     val cidSeq = sequence(lit(0), lit(cents.length - 1))
+    // norms are computed ONCE PER VECTOR here and carried through the join
+    // (r7b): the verify previously re-ran the norm kernel per CANDIDATE
+    // PAIR — 2×dims extra flops per pair, ~2/3 of the verify stage's cost
+    // (BenchExtra: join-no-verify 0.49 s vs pairs 1.59 s at sf0.1).
+    // Identical values by construction: same kernel, same input vector,
+    // and the product _na·_nb is the exact expression norm(a)·norm(b) was.
     val assigned = clean.select(col(idCol), col(vecCol))
       .withColumn("_cd", graft.functions.VectorFunctions.centroidDists(
         col(vecCol), cents, isF))
       .withColumn("_hd", array_min(col("_cd")))
+      .withColumn("_nrm", norm(col(vecCol)))
     val home = assigned
       .withColumn("cid", (array_position(col("_cd"), col("_hd")) - 1).cast("int"))
-      .select(col(idCol).as("_ida"), col(vecCol).as("_va"), col("cid"))
+      .select(col(idCol).as("_ida"), col(vecCol).as("_va"),
+        col("_nrm").as("_na"), col("cid"))
     val replicas = assigned
       .withColumn("cid", explode(filter(cidSeq, j =>
         element_at(col("_cd"), j + 1) <= col("_hd") + lit(twoR))))
-      .select(col(idCol).as("_idb"), col(vecCol).as("_vb"), col("cid"))
+      .select(col(idCol).as("_idb"), col(vecCol).as("_vb"),
+        col("_nrm").as("_nb"), col("cid"))
     // r7: the recall argument is ORIENTATION-AGNOSTIC — for any qualifying
     // pair (a, b), d(b, c_a) ≤ d(b, c_b) + 2r, so b's replicas reach a's
     // home cell for EITHER role assignment. Keeping only the (home id <
@@ -289,7 +314,7 @@ object Similarity {
     home.join(replicas, "cid")
       .where(col("_ida") < col("_idb"))
       .withColumn("cosine",
-        dot(col("_va"), col("_vb")) / (norm(col("_va")) * norm(col("_vb"))))
+        dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
       .where(col("cosine") >= threshold)
       .select(col("_ida").as("id1"), col("_idb").as("id2"), col("cosine"))
   }

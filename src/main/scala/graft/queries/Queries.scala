@@ -320,22 +320,21 @@ object Queries {
     * keys, no window over the whole user history.
     */
   def q34Retention(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // cached (r7): the grid feeds the activity aggregate AND the retention
-    // branch — uncached, the events scan + distinct ran per consumer.
-    // r7b: retention is a `lead` over the per-user day sequence instead of
-    // the (user, day+1) SELF-JOIN — the grid is distinct, so the next row
-    // in (user, d) order is the user's next active day, and lead(d) ==
-    // d+1 ⟺ active again tomorrow: one exchange on user_id replaces the
-    // self-join's two composite-key exchanges (identical counts by
-    // construction).
+    // cached (r7): the grid feeds the activity aggregate AND both self-join
+    // sides — uncached, the events scan + distinct ran 3× (before-plan).
+    // r7b: a lead-window variant (one user_id exchange instead of the
+    // composite-key self-join) was built and MEASURED SLOWER — min-of-4
+    // same-window A/B via BenchExtra: self-join 0.75 s vs window 1.14 s at
+    // sf0.1 — the cached grid broadcast-joins here while the window forces
+    // a full sort behind its exchange; reverted per the empirical loop
+    // (guide §1.1, the q31/q60-cache precedent).
     val ud = table(spark, sfDir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct().cache()
     val act = ud.groupBy(col("d")).agg(count(lit(1)).as("n_active"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
-    val ret = ud.withColumn("_nd", lead(col("d"), 1).over(w))
-      .where(col("_nd") === date_add(col("d"), 1))
-      .groupBy(col("d")).agg(count(lit(1)).as("n_retained"))
+    val ret = ud.as("a")
+      .join(ud.as("b"),
+        col("a.user_id") === col("b.user_id") && col("b.d") === date_add(col("a.d"), 1))
+      .groupBy(col("a.d").as("d")).agg(count(lit(1)).as("n_retained"))
     act.join(ret, Seq("d"), "left")
       .select(col("d"), col("n_active"),
         coalesce(col("n_retained"), lit(0L)).as("n_retained"))
